@@ -1,0 +1,21 @@
+"""lili_om_tpu — a TPU-native LiDAR-inertial odometry & mapping engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+KIT-ISAS/lili-om (tightly-coupled keyframe-based LiDAR-inertial SLAM):
+
+* ``utils``    — quaternion/SE(3) math, config, timing.
+* ``ops``      — compute kernels: IMU preintegration, feature extraction
+                 (Livox eigen-patch + spinning-LiDAR LOAM curvature), kNN map
+                 association, factor residuals/Jacobians, batched
+                 Gauss-Newton/LM, Schur-complement marginalization, ICP.
+* ``models``   — pipeline stages: frontend scan-to-map odometry, backend
+                 sliding-window fusion, global pose graph, loop closure, and
+                 the full system orchestrator.
+* ``parallel`` — device-mesh sharding: distributed residual/Jacobian
+                 assembly and Schur reduction over ICI collectives.
+* ``sim``      — synthetic worlds and sensor models (the test substrate that
+                 replaces the reference's rosbags).
+* ``io``       — dataset loading and checkpointing.
+"""
+
+__version__ = "0.1.0"
