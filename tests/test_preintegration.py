@@ -1,0 +1,188 @@
+"""Preintegration unit tests: analytic deltas, bias Jacobians vs autodiff,
+covariance sanity, residual consistency with a gravity-true simulation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lili_om_tpu.ops import preintegration as pre
+from lili_om_tpu.utils import math as m
+
+NOISE = pre.ImuNoise()
+
+
+def make_const_signal(n, acc, gyr, dt=0.005):
+    dts = jnp.full((n,), dt)
+    accs = jnp.tile(jnp.asarray(acc), (n, 1))
+    gyrs = jnp.tile(jnp.asarray(gyr), (n, 1))
+    return dts, accs, gyrs
+
+
+def test_constant_accel_no_rotation():
+    """Zero gyro, constant accel a → dp = ½at², dv = at, dq = I."""
+    a = jnp.array([1.0, -2.0, 0.5])
+    dts, accs, gyrs = make_const_signal(200, a, jnp.zeros(3))
+    p = pre.integrate(NOISE, jnp.zeros(3), jnp.zeros(3), a, jnp.zeros(3), dts, accs, gyrs)
+    T = 200 * 0.005
+    np.testing.assert_allclose(p.sum_dt, T, atol=1e-12)
+    np.testing.assert_allclose(p.dv, a * T, atol=1e-9)
+    np.testing.assert_allclose(p.dp, 0.5 * a * T * T, atol=1e-9)
+    np.testing.assert_allclose(p.dq, [1, 0, 0, 0], atol=1e-12)
+
+
+def test_constant_gyro_rotation():
+    """Constant angular rate w → dq = Exp(w·T)."""
+    w = jnp.array([0.1, 0.2, -0.3])
+    dts, accs, gyrs = make_const_signal(400, jnp.zeros(3), w, dt=0.0025)
+    p = pre.integrate(NOISE, jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), w, dts, accs, gyrs)
+    T = 400 * 0.0025
+    np.testing.assert_allclose(m.log_so3(p.dq), w * T, atol=1e-8)
+
+
+def test_gyro_bias_removed():
+    """gyro == bias → no rotation."""
+    w = jnp.array([0.02, -0.01, 0.03])
+    dts, accs, gyrs = make_const_signal(100, jnp.zeros(3), w)
+    p = pre.integrate(NOISE, jnp.zeros(3), w, jnp.zeros(3), w, dts, accs, gyrs)
+    np.testing.assert_allclose(p.dq, [1, 0, 0, 0], atol=1e-12)
+
+
+def test_mask_is_noop():
+    """Trailing masked samples must not change anything."""
+    key = jax.random.PRNGKey(1)
+    accs = jax.random.normal(key, (50, 3))
+    gyrs = jax.random.normal(jax.random.split(key)[0], (50, 3)) * 0.3
+    dts = jnp.full((50,), 0.005)
+    p_full = pre.integrate(NOISE, jnp.zeros(3), jnp.zeros(3), accs[0], gyrs[0], dts[:30], accs[:30], gyrs[:30])
+    mask = jnp.arange(50) < 30
+    p_masked = pre.integrate(NOISE, jnp.zeros(3), jnp.zeros(3), accs[0], gyrs[0], dts, accs, gyrs, mask)
+    for a, b in zip(p_full, p_masked):
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_bias_jacobian_vs_reintegration():
+    """First-order bias correction ≈ reintegration at perturbed bias
+    (validates the F-chain Jacobian; replaces the reference's never-called
+    Repropagate as the ground truth — Preintegration.h:64-77)."""
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    accs = jax.random.normal(k1, (100, 3)) * 2.0 + jnp.array([0.0, 0.0, 9.8])
+    gyrs = jax.random.normal(k2, (100, 3)) * 0.5
+    dts = jnp.full((100,), 0.005)
+    ba0, bg0 = jnp.zeros(3), jnp.zeros(3)
+
+    p0 = pre.integrate(NOISE, ba0, bg0, accs[0], gyrs[0], dts, accs, gyrs)
+    dba = jnp.array([1e-3, -2e-3, 1.5e-3])
+    dbg = jnp.array([-1e-3, 0.5e-3, 2e-3])
+    # first-order prediction
+    dp_pred, dq_pred, dv_pred = pre.bias_corrected_deltas(p0, ba0 + dba, bg0 + dbg)
+    # ground truth: reintegrate with the perturbed bias
+    p1 = pre.integrate(NOISE, ba0 + dba, bg0 + dbg, accs[0], gyrs[0], dts, accs, gyrs)
+    np.testing.assert_allclose(dp_pred, p1.dp, atol=5e-5)
+    np.testing.assert_allclose(dv_pred, p1.dv, atol=2e-4)
+    np.testing.assert_allclose(m.log_so3(m.quat_mul(m.quat_conj(dq_pred), p1.dq)), jnp.zeros(3), atol=1e-5)
+
+
+def test_bias_jacobian_vs_autodiff():
+    """J blocks ≈ jacfwd of exact reintegration wrt bias (SURVEY.md §4)."""
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    accs = jax.random.normal(k1, (40, 3)) + jnp.array([0.0, 0.0, 9.8])
+    gyrs = jax.random.normal(k2, (40, 3)) * 0.3
+    dts = jnp.full((40,), 0.005)
+
+    p0 = pre.integrate(NOISE, jnp.zeros(3), jnp.zeros(3), accs[0], gyrs[0], dts, accs, gyrs)
+
+    def deltas(bias):
+        ba, bg = bias[:3], bias[3:]
+        p = pre.integrate(NOISE, ba, bg, accs[0], gyrs[0], dts, accs, gyrs)
+        # rotation sensitivity in the *local* tangent at dq0, matching the
+        # right-perturbation convention of bias_corrected_deltas
+        dth = m.log_so3(m.quat_mul(m.quat_conj(p0.dq), p.dq))
+        return jnp.concatenate([p.dp, dth, p.dv])
+
+    J_auto = jax.jacfwd(deltas)(jnp.zeros(6))
+    J = p0.jacobian
+    # position & velocity wrt ba and bg; rotation wrt bg
+    np.testing.assert_allclose(J[0:3, 9:12], J_auto[0:3, 0:3], atol=2e-6)
+    np.testing.assert_allclose(J[6:9, 9:12], J_auto[6:9, 0:3], atol=2e-5)
+    np.testing.assert_allclose(J[3:6, 12:15], J_auto[3:6, 3:6], atol=5e-4)
+    # reference quirk: J[0:3,12:15] uses a -1/6 (not -1/4) per-step factor, so
+    # compare it loosely — same sign & scale as autodiff
+    ratio = J[0:3, 12:15] / jnp.where(jnp.abs(J_auto[0:3, 3:6]) > 1e-8, J_auto[0:3, 3:6], 1.0)
+    assert jnp.all(jnp.abs(ratio[jnp.abs(J_auto[0:3, 3:6]) > 1e-6] - 1.0) < 0.5)
+
+
+def test_covariance_psd_and_growing():
+    key = jax.random.PRNGKey(4)
+    accs = jax.random.normal(key, (100, 3))
+    gyrs = jax.random.normal(key, (100, 3)) * 0.2
+    dts = jnp.full((100,), 0.005)
+    p = pre.integrate(NOISE, jnp.zeros(3), jnp.zeros(3), accs[0], gyrs[0], dts, accs, gyrs)
+    eigs = jnp.linalg.eigvalsh(p.covariance)
+    assert jnp.all(eigs > 0)
+    # sqrt_info whitens: W P Wᵀ = I
+    W = pre.sqrt_info(p)
+    np.testing.assert_allclose(W @ p.covariance @ W.T, jnp.eye(15), atol=1e-8)
+
+
+def test_residual_zero_on_true_trajectory():
+    """Simulate exact midpoint dynamics under gravity; residual ≈ 0."""
+    noise = NOISE
+    g = noise.g_vec(jnp.float64)
+    n, dt = 200, 0.005
+    key = jax.random.PRNGKey(5)
+    # random body-frame signals
+    accs_body = jax.random.normal(key, (n, 3)) * 0.5
+    gyrs = jax.random.normal(jax.random.split(key)[0], (n, 3)) * 0.4
+
+    # ground-truth world states via the same midpoint scheme (propagate_world)
+    t0, q0, v0 = jnp.zeros(3), m.exp_so3(jnp.array([0.1, -0.2, 0.3])), jnp.array([1.0, 0.0, 0.2])
+    # measured accel = R^T (a_world - g); build consistent measurements by
+    # treating accs_body as the measurement and deriving world motion from it.
+    tj, qj, vj, _, _ = pre.propagate_world(
+        t0, q0, v0, jnp.zeros(3), jnp.zeros(3), noise, accs_body[0], gyrs[0],
+        jnp.full((n,), dt), accs_body, gyrs,
+    )
+    p = pre.integrate(noise, jnp.zeros(3), jnp.zeros(3), accs_body[0], gyrs[0], jnp.full((n,), dt), accs_body, gyrs)
+    r = pre.residual(p, noise, t0, q0, v0, jnp.zeros(3), jnp.zeros(3), tj, qj, vj, jnp.zeros(3), jnp.zeros(3))
+    np.testing.assert_allclose(r, jnp.zeros(15), atol=1e-9)
+
+
+def test_residual_autodiff_jacobian_finite():
+    """Residual is differentiable wrt all states (for the GN solver)."""
+    noise = NOISE
+    n = 20
+    key = jax.random.PRNGKey(6)
+    accs = jax.random.normal(key, (n, 3))
+    gyrs = jax.random.normal(key, (n, 3)) * 0.1
+    dts = jnp.full((n,), 0.005)
+    p = pre.integrate(noise, jnp.zeros(3), jnp.zeros(3), accs[0], gyrs[0], dts, accs, gyrs)
+
+    def r_of_delta(d):
+        ti, qi = m.pose_retract(jnp.zeros(3), m.QUAT_ID, d[:6])
+        return pre.residual(
+            p, noise, ti, qi, jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+            jnp.ones(3), m.QUAT_ID, jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+        )
+
+    J = jax.jacfwd(r_of_delta)(jnp.zeros(6))
+    assert J.shape == (15, 6)
+    assert jnp.all(jnp.isfinite(J))
+
+
+def test_integrate_batch_vmap():
+    """Window-batched integration matches per-interval integration."""
+    key = jax.random.PRNGKey(7)
+    W, N = 4, 30
+    accs = jax.random.normal(key, (W, N, 3))
+    gyrs = jax.random.normal(key, (W, N, 3)) * 0.2
+    dts = jnp.full((W, N), 0.005)
+    mask = jnp.ones((W, N), bool)
+    ba = jnp.zeros((W, 3))
+    bg = jnp.zeros((W, 3))
+    pb = pre.integrate_batch(NOISE, ba, bg, accs[:, 0], gyrs[:, 0], dts, accs, gyrs, mask)
+    for i in range(W):
+        pi = pre.integrate(NOISE, ba[i], bg[i], accs[i, 0], gyrs[i, 0], dts[i], accs[i], gyrs[i])
+        np.testing.assert_allclose(pb.dp[i], pi.dp, atol=1e-12)
+        np.testing.assert_allclose(pb.covariance[i], pi.covariance, atol=1e-15)
