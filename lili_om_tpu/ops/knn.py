@@ -1,0 +1,97 @@
+"""k-nearest-neighbor map association — the TPU-native replacement for the
+reference's PCL kd-trees (LiLi-OM/src/LidarOdometry.cpp:360,490;
+BackendFusion.cpp:839-840,1541,1611).
+
+Design: *exact* kNN by tiled brute force. The (Q×P) squared-distance matrix
+is an MXU matmul (‖q−p‖² = ‖q‖² + ‖p‖² − 2 q·pᵀ); a `lax.scan` over P-tiles
+keeps memory at O(Q·T) and merges a running top-k per query. For the map
+sizes LiLi-OM works with (10⁴–10⁵ downsampled map points, ~10³–10⁴ queries)
+this is far below speed-of-light FLOPs on a TPU chip and — unlike the
+kd-tree — exact, branch-free, batchable, and differentiable-adjacent.
+
+All shapes static; invalid entries are masked with +inf distances.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.inf
+
+
+def _pad_to(x: jnp.ndarray, n: int, axis: int = 0, value=0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@partial(jax.jit, static_argnames=("k", "tile_p"))
+def knn(
+    queries: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int = 5,
+    q_mask: Optional[jnp.ndarray] = None,
+    p_mask: Optional[jnp.ndarray] = None,
+    tile_p: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN of each query among the (masked) points.
+
+    Args:
+      queries: (Q,3). points: (P,3).
+      q_mask: (Q,) — invalid queries still produce outputs but are garbage.
+      p_mask: (P,) — invalid points never match.
+      tile_p: P-tile size for the scanned distance computation.
+
+    Returns:
+      (dists² (Q,k), idx (Q,k)) — sorted ascending; masked/insufficient
+      neighbors have dist=+inf and idx=0.
+    """
+    Q = queries.shape[0]
+    P = points.shape[0]
+    dtype = queries.dtype
+    if p_mask is None:
+        p_mask = jnp.ones((P,), bool)
+
+    P_pad = ((P + tile_p - 1) // tile_p) * tile_p
+    pts = _pad_to(points, P_pad)
+    pm = _pad_to(p_mask, P_pad, value=False)
+    n_tiles = P_pad // tile_p
+
+    pts_t = pts.reshape(n_tiles, tile_p, 3)
+    pm_t = pm.reshape(n_tiles, tile_p)
+    q_norm = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (Q,1)
+
+    def tile_step(carry, inp):
+        best_d, best_i = carry  # (Q,k), (Q,k)
+        tile_pts, tile_mask, tile_idx0 = inp
+        # ‖q−p‖² via MXU matmul
+        cross = queries @ tile_pts.T  # (Q,T)
+        p_norm = jnp.sum(tile_pts * tile_pts, axis=-1)[None, :]  # (1,T)
+        d = q_norm + p_norm - 2.0 * cross
+        d = jnp.where(tile_mask[None, :], d, INF)
+        # merge with running top-k
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        idx_tile = tile_idx0 + jax.lax.broadcasted_iota(jnp.int32, (Q, tile_pts.shape[0]), 1)
+        cat_i = jnp.concatenate([best_i, idx_tile], axis=1)
+        neg_top, arg = jax.lax.top_k(-cat_d, k)
+        new_d = -neg_top
+        new_i = jnp.take_along_axis(cat_i, arg, axis=1)
+        return (new_d, new_i), None
+
+    init = (jnp.full((Q, k), INF, dtype), jnp.zeros((Q, k), jnp.int32))
+    tile_idx0 = (jnp.arange(n_tiles) * tile_p).astype(jnp.int32)
+    (best_d, best_i), _ = jax.lax.scan(tile_step, init, (pts_t, pm_t, tile_idx0))
+    best_d = jnp.maximum(best_d, 0.0)  # clamp matmul round-off
+    best_i = jnp.where(jnp.isfinite(best_d), best_i, 0)
+    return best_d, best_i
+
+
+def gather_neighbors(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(P,3), (Q,k) → (Q,k,3)."""
+    return points[idx]

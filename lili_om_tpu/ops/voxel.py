@@ -1,0 +1,77 @@
+"""Fixed-shape voxel-grid downsampling — the PCL ``VoxelGrid`` replacement
+(LiLi-OM/src/LidarOdometry.cpp:155-156,315-323; BackendFusion.cpp:1486-1528).
+
+Centroid-per-voxel, computed as one sort + segment-sum XLA program with a
+static output capacity and validity mask (no dynamic shapes). Keys are
+packed 3×21-bit integer cells, supporting ±10⁶ cells per axis — far beyond
+the ±200 m sensing envelope at any useful leaf size.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_B = jnp.int64(1 << 20)  # coordinate offset to keep packed keys positive
+
+
+def voxel_keys(pts: jnp.ndarray, leaf: float) -> jnp.ndarray:
+    """int64 packed voxel key per point."""
+    cells = jnp.floor(pts / leaf).astype(jnp.int64) + _B
+    return (cells[..., 0] << 42) | (cells[..., 1] << 21) | cells[..., 2]
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def voxel_downsample(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    leaf: float,
+    max_out: int,
+    feats: Optional[jnp.ndarray] = None,
+):
+    """Downsample to ≤ ``max_out`` voxel centroids.
+
+    Args:
+      pts: (N,3). mask: (N,) validity. leaf: voxel edge (leaf>0).
+      max_out: static output capacity; voxels beyond it (in key order) drop.
+      feats: optional (N,F) extra channels averaged alongside xyz.
+
+    Returns:
+      (out (max_out,3), out_mask (max_out,)) or with feats:
+      (out, out_feats (max_out,F), out_mask).
+    """
+    N = pts.shape[0]
+    key = voxel_keys(pts, leaf)
+    key = jnp.where(mask, key, jnp.int64(jnp.iinfo(jnp.int64).max))
+    order = jnp.argsort(key)
+    key_s = key[order]
+    pts_s = pts[order]
+    valid_s = mask[order]
+
+    starts = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1  # 0-based voxel index
+    in_cap = (seg_id < max_out) & valid_s
+    seg_id_c = jnp.where(in_cap, seg_id, max_out)  # overflow bucket
+
+    ones = in_cap.astype(pts.dtype)
+    cnt = jax.ops.segment_sum(ones, seg_id_c, num_segments=max_out + 1)[:max_out]
+    sums = jax.ops.segment_sum(pts_s * ones[:, None], seg_id_c, num_segments=max_out + 1)[:max_out]
+    out_mask = cnt > 0
+    out = sums / jnp.maximum(cnt, 1.0)[:, None]
+    out = jnp.where(out_mask[:, None], out, 0.0)
+    if feats is not None:
+        feats_s = feats[order]
+        fsums = jax.ops.segment_sum(feats_s * ones[:, None], seg_id_c, num_segments=max_out + 1)[:max_out]
+        fout = jnp.where(out_mask[:, None], fsums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
+        return out, fout, out_mask
+    return out, out_mask
+
+
+def remove_close_points(pts: jnp.ndarray, mask: jnp.ndarray, min_range: float) -> jnp.ndarray:
+    """Validity update dropping points closer than ``min_range``
+    (removeClosedPointCloud: LiLi-OM Preprocessing.cpp:225-226 [0.1 m],
+    ROT Preprocessing.cpp:281 [3.0 m])."""
+    r2 = jnp.sum(pts * pts, axis=-1)
+    return mask & (r2 >= min_range * min_range) & jnp.all(jnp.isfinite(pts), axis=-1)

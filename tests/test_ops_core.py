@@ -1,0 +1,129 @@
+"""Tests for kNN, plane/line fitting, and voxel downsampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lili_om_tpu.ops import fitting, knn, voxel
+
+
+def brute_knn_np(q, p, k, p_mask=None):
+    d = ((q[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+    if p_mask is not None:
+        d[:, ~np.asarray(p_mask)] = np.inf
+    idx = np.argsort(d, axis=1)[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+def test_knn_exact_vs_numpy():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(257, 3)).astype(np.float64)
+    p = rng.normal(size=(5000, 3)).astype(np.float64)
+    d_ref, i_ref = brute_knn_np(q, p, 5)
+    d, i = knn.knn(jnp.asarray(q), jnp.asarray(p), k=5, tile_p=1024)
+    np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-9)
+    # indices can differ on exact ties; check distances via gathered points
+    g = np.asarray(p)[np.asarray(i)]
+    d_check = ((q[:, None, :] - g) ** 2).sum(-1)
+    np.testing.assert_allclose(d_check, d_ref, atol=1e-9)
+
+
+def test_knn_respects_point_mask():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(64, 3))
+    p = rng.normal(size=(1000, 3))
+    p_mask = rng.random(1000) > 0.5
+    d_ref, _ = brute_knn_np(q, p, 5, p_mask)
+    d, i = knn.knn(jnp.asarray(q), jnp.asarray(p), k=5, p_mask=jnp.asarray(p_mask), tile_p=256)
+    np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-9)
+    assert np.all(np.asarray(p_mask)[np.asarray(i)])
+
+
+def test_knn_more_k_than_points():
+    p = jnp.array([[0.0, 0, 0], [1.0, 0, 0]])
+    q = jnp.array([[0.1, 0.0, 0.0]])
+    d, i = knn.knn(q, p, k=5, tile_p=8)
+    assert np.isfinite(np.asarray(d[0, :2])).all()
+    assert np.isinf(np.asarray(d[0, 2:])).all()
+
+
+def test_fit_plane_exact():
+    # points on plane z = 3 → normal ±z, n·x + d = 0 with n=(0,0,-1), d=3 scaled
+    rng = np.random.default_rng(2)
+    xy = rng.normal(size=(10, 5, 2))
+    pts = np.concatenate([xy, np.full((10, 5, 1), 3.0)], axis=-1)
+    fit = fitting.fit_plane(jnp.asarray(pts), jnp.ones((10, 5), bool), dist_thres=0.05)
+    assert np.all(np.asarray(fit.valid))
+    n = np.asarray(fit.normal)
+    d = np.asarray(fit.d)
+    # plane eq: n·x + d = 0 for all points
+    res = np.abs((pts * n[:, None, :]).sum(-1) + d[:, None])
+    assert res.max() < 1e-6
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-9)
+
+
+def test_fit_plane_rejects_nonplanar():
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(20, 5, 3))  # random blobs
+    fit = fitting.fit_plane(jnp.asarray(pts), jnp.ones((20, 5), bool), dist_thres=0.05)
+    assert np.asarray(fit.valid).mean() < 0.2
+
+
+def test_fit_plane_weighted_pulls_towards_heavy_points():
+    # 4 points on z=0, 1 outlier at z=1 with tiny weight → plane ≈ z=0
+    pts = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [0.5, 0.5, 1.0]]], float)
+    w = jnp.array([[1.0, 1.0, 1.0, 1.0, 1e-4]])
+    fit = fitting.fit_plane(jnp.asarray(pts) + jnp.array([0.0, 0.0, 2.0]), jnp.ones((1, 5), bool),
+                            dist_thres=10.0, weights=w)
+    n = np.asarray(fit.normal)[0]
+    assert abs(n[2]) > 0.99
+
+
+def test_fit_line():
+    t = np.linspace(-1, 1, 5)
+    d = np.array([1.0, 2.0, -1.0])
+    d /= np.linalg.norm(d)
+    pts = (t[:, None] * d[None, :])[None] + np.array([5.0, -2.0, 1.0])
+    pts = np.repeat(pts, 3, axis=0) + np.random.default_rng(4).normal(size=(3, 5, 3)) * 1e-3
+    fit = fitting.fit_line(jnp.asarray(pts), jnp.ones((3, 5), bool))
+    assert np.all(np.asarray(fit.valid))
+    dirs = np.asarray(fit.direction)
+    assert np.abs(dirs @ d).min() > 0.999
+
+
+def test_fit_line_rejects_isotropic_plane_patch():
+    # a square grid on a plane is isotropic (λ2 ≈ λ1) → not a line
+    g = np.linspace(-1, 1, 3)
+    gx, gy = np.meshgrid(g, g)
+    pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(9)], axis=-1)[None]
+    fit = fitting.fit_line(jnp.asarray(pts), jnp.ones((1, 9), bool), ratio_thres=3.0)
+    assert not bool(fit.valid[0])
+
+
+def test_voxel_downsample_centroids():
+    pts = jnp.array([
+        [0.05, 0.05, 0.05], [0.15, 0.05, 0.05],  # same voxel @ leaf 0.4
+        [1.0, 1.0, 1.0], [1.1, 1.05, 1.02],      # same voxel
+        [-3.0, 0.0, 0.0],
+    ])
+    mask = jnp.ones(5, bool)
+    out, out_mask = voxel.voxel_downsample(pts, mask, 0.4, max_out=8)
+    got = np.sort(np.asarray(out[out_mask]), axis=0)
+    want = np.sort(np.array([[0.1, 0.05, 0.05], [1.05, 1.025, 1.01], [-3.0, 0.0, 0.0]]), axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert int(out_mask.sum()) == 3
+
+
+def test_voxel_downsample_respects_mask_and_cap():
+    rng = np.random.default_rng(6)
+    pts = jnp.asarray(rng.uniform(-10, 10, size=(2000, 3)))
+    mask = jnp.asarray(rng.random(2000) > 0.3)
+    out, out_mask = voxel.voxel_downsample(pts, mask, 1.0, max_out=64)
+    assert int(out_mask.sum()) == 64  # cap binds (20³ voxel candidates ≫ 64)
+    out2, m2 = voxel.voxel_downsample(pts, jnp.zeros(2000, bool), 1.0, max_out=64)
+    assert int(m2.sum()) == 0
+
+
+def test_remove_close_points():
+    pts = jnp.array([[0.05, 0, 0], [5.0, 0, 0], [jnp.nan, 0, 0]])
+    m = voxel.remove_close_points(pts, jnp.ones(3, bool), 0.1)
+    assert list(np.asarray(m)) == [False, True, False]
