@@ -104,11 +104,16 @@ def make_corridor_world(length: float = 120.0, width: float = 8.0, height: float
                         pole_spacing: float = 7.0) -> World:
     """Long corridor with poles along both walls — the straight-trajectory
     odometry test scene."""
+    # flush box: floor/walls/end-caps meet exactly (no depth-discontinuity
+    # slits — edges come only from poles and plane junctions)
+    cx, hx = length / 2 - 10, length / 2 + 20
     b = WorldBuilder()
-    b.add_plane((length / 2 - 10, 0, -1.5), (0, 0, 1), (1, 0, 0), length / 2 + 20, width)
-    b.add_plane((length / 2 - 10, -width / 2, 0.5), (0, 1, 0), (1, 0, 0), length / 2 + 20, height / 2)
-    b.add_plane((length / 2 - 10, width / 2, 0.5), (0, -1, 0), (1, 0, 0), length / 2 + 20, height / 2)
-    b.add_plane((length + 12, 0, 0.5), (-1, 0, 0), (0, 1, 0), width, height / 2)  # end wall
+    b.add_plane((cx, 0, -1.5), (0, 0, 1), (1, 0, 0), hx, width / 2)
+    b.add_plane((cx, 0, -1.5 + height), (0, 0, -1), (1, 0, 0), hx, width / 2)
+    b.add_plane((cx, -width / 2, -1.5 + height / 2), (0, 1, 0), (1, 0, 0), hx, height / 2)
+    b.add_plane((cx, width / 2, -1.5 + height / 2), (0, -1, 0), (1, 0, 0), hx, height / 2)
+    b.add_plane((cx + hx, 0, -1.5 + height / 2), (-1, 0, 0), (0, 1, 0), width / 2, height / 2)
+    b.add_plane((cx - hx, 0, -1.5 + height / 2), (1, 0, 0), (0, 1, 0), width / 2, height / 2)
     x = 0.0
     side = 1.0
     while x < length + 5:
