@@ -1,0 +1,224 @@
+"""Frontend scan-to-map odometry — the TPU-native re-design of
+``LiLi-OM/src/LidarOdometry.cpp`` (shared by both variants).
+
+One jitted program per frame ("odometry_step") replaces the ROS node loop:
+
+* constant-velocity pose prior (poseInitialization, :415-442);
+* local map = ring buffer of the 20 most recent frames' surf clouds in world
+  (buildLocalMap, :280-303), voxel-downsampled at 0.4 m (:315-323);
+* correspondence rounds (updateTransformationWithCeres, :483-586): batched
+  exact 5-NN (MXU-tiled) → vmapped plane fits with the reference's gates
+  (5th-NN < 1 m, per-neighbor plane distance ≤ 0.06, distance-decay weight
+  ``1 − 0.9·|pd|/√‖p_w‖`` kept if > 0.4, :352-413) → Gauss-Newton iterations
+  with Huber-0.1 IRLS weights on the point-to-plane factors
+  (LidarPlaneNormIncreFactor);
+* keyframe trigger (>0.2 m ∨ >0.1 rad with ≥1-frame gap, or every 3rd frame,
+  :573-585).
+
+Everything is fixed-shape; the "deque" is a ring buffer with masks; the
+first-2-frames 8-round schedule (:500-504) is a masked ``fori_loop``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.lidar import PlaneFactorBatch, huber_weight, plane_residual
+from ..ops.knn import knn
+from ..ops.voxel import voxel_downsample
+from ..solver.gn import gn_update
+from ..utils.math import (
+    exp_so3,
+    pose_relative,
+    quat_conj,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    unify_quaternion,
+)
+
+
+class OdometryConfig(NamedTuple):
+    """Static knobs (hashable → usable as a jit static arg). Defaults mirror
+    the reference's hardcodes and FR_IOSB config."""
+
+    n_recent_frames: int = 20  # local-map deque length (:290)
+    scan_cap: int = 8192  # surf features per frame (static capacity)
+    query_cap: int = 4096  # downsampled scan queries
+    map_cap: int = 32768  # downsampled local-map points
+    ds_leaf: float = 0.4  # voxel leaf for both map & scan (:155-156)
+    k: int = 5  # kNN fan-in (:360)
+    nn_gate: float = 1.0  # 5th-NN squared... distance gate (d<1.0, :365)
+    plane_tol: float = 0.06  # per-neighbor plane validity (:389)
+    min_weight: float = 0.4  # correspondence keep gate (:400)
+    huber: float = 0.1  # robust loss (:508)
+    max_rounds: int = 8  # first-2-frames schedule (:501)
+    scan_match_cnt: int = 2  # steady-state rounds (config_fr_iosb.yaml)
+    gn_iters: int = 4  # inner GN iterations per round
+    kf_dist: float = 0.2  # keyframe translation gate (:571)
+    kf_angle: float = 0.1  # keyframe rotation gate (:571)
+
+
+class OdometryState(NamedTuple):
+    """Per-run carried state (pytree)."""
+
+    frames_pts: jnp.ndarray  # (F, S, 3) recent surf clouds, world frame
+    frames_mask: jnp.ndarray  # (F, S)
+    write_idx: jnp.ndarray  # () int32 ring-buffer cursor
+    frame_id: jnp.ndarray  # () int32 frames processed so far
+    t: jnp.ndarray  # (3,) current world pose
+    q: jnp.ndarray  # (4,)
+    t_prev: jnp.ndarray  # (3,) previous frame pose
+    q_prev: jnp.ndarray  # (4,)
+    kf_t: jnp.ndarray  # (3,) last keyframe pose
+    kf_q: jnp.ndarray  # (4,)
+    kf_frame: jnp.ndarray  # () int32 frame id of last keyframe
+
+
+class OdometryOut(NamedTuple):
+    t: jnp.ndarray  # (3,) world pose of this frame
+    q: jnp.ndarray  # (4,)
+    rel_t: jnp.ndarray  # (3,) pose relative to previous frame (/each_odom)
+    rel_q: jnp.ndarray  # (4,)
+    is_keyframe: jnp.ndarray  # () bool
+    n_corr: jnp.ndarray  # () int32 surviving correspondences (diagnostic)
+
+
+def init_state(cfg: OdometryConfig, dtype=jnp.float32) -> OdometryState:
+    F, S = cfg.n_recent_frames, cfg.scan_cap
+    qid = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+    z3 = jnp.zeros(3, dtype)
+    return OdometryState(
+        frames_pts=jnp.zeros((F, S, 3), dtype),
+        frames_mask=jnp.zeros((F, S), bool),
+        write_idx=jnp.zeros((), jnp.int32),
+        frame_id=jnp.zeros((), jnp.int32),
+        t=z3, q=qid, t_prev=z3, q_prev=qid,
+        kf_t=z3, kf_q=qid, kf_frame=jnp.zeros((), jnp.int32),
+    )
+
+
+def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryConfig):
+    """One correspondence round: kNN + plane fits + ``gn_iters`` GN steps."""
+    # world-frame query positions under the current estimate
+    pw = quat_rotate(q[None, :], scan_q) + t[None, :]
+    d2, idx = knn(pw, map_pts, k=cfg.k, p_mask=map_mask)
+    nbrs = map_pts[idx]  # (Q,k,3)
+    nn_ok = d2[:, cfg.k - 1] < cfg.nn_gate  # 5th-NN distance gate (:365)
+
+    # plane fit A·n = −1 over the k neighbors (all valid: masked kNN padding
+    # yields +inf dists which fail nn_ok anyway)
+    AtA = jnp.einsum("qki,qkj->qij", nbrs, nbrs)
+    Atb = -jnp.sum(nbrs, axis=-2)
+    n_raw = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(3, dtype=nbrs.dtype), Atb[..., None])[..., 0]
+    norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
+    normal = n_raw / norm
+    d_off = 1.0 / norm[..., 0]
+    pd_nbr = jnp.abs(jnp.einsum("qki,qi->qk", nbrs, normal) + d_off[:, None])
+    plane_ok = jnp.all(pd_nbr <= cfg.plane_tol, axis=-1)
+
+    pd = jnp.sum(normal * pw, axis=-1) + d_off
+    # reference quirk kept: the decay length is √‖p_world‖ (distance from the
+    # *world origin*, not sensor range) — LidarOdometry.cpp:397
+    pw_norm = jnp.sqrt(jnp.maximum(jnp.linalg.norm(pw, axis=-1), 1e-9))
+    weight = 1.0 - 0.9 * jnp.abs(pd) / pw_norm
+    keep = scan_q_mask & nn_ok & plane_ok & (weight > cfg.min_weight)
+
+    batch = PlaneFactorBatch(
+        pts=scan_q, normals=normal, offsets=d_off,
+        scores=jnp.where(keep, weight, 0.0), mask=keep,
+    )
+
+    def gn_body(_, carry):
+        t, q = carry
+        r, J = plane_residual(t, q, batch)
+        w = huber_weight(r * r, cfg.huber)
+        delta = gn_update(J, r, damping=1e-8, w=w)
+        t = t + delta[:3]
+        q = quat_normalize(quat_mul(q, exp_so3(delta[3:6])))
+        return (t, q)
+
+    t, q = jax.lax.fori_loop(0, cfg.gn_iters, gn_body, (t, q))
+    return t, q, jnp.sum(keep.astype(jnp.int32)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.ndarray,
+                  cfg: OdometryConfig = OdometryConfig()):
+    """Process one frame's surf-feature cloud (sensor frame at scan start).
+
+    Returns (new_state, OdometryOut).
+    """
+    F, S = cfg.n_recent_frames, cfg.scan_cap
+    dtype = surf_pts.dtype
+
+    # --- pose prior: propagate last relative motion (:415-442) ---
+    rel_t, rel_q = pose_relative(state.t_prev, state.q_prev, state.t, state.q)
+    t_guess = state.t + quat_rotate(state.q, rel_t)
+    q_guess = quat_normalize(quat_mul(state.q, rel_q))
+
+    # --- local map: concat ring buffer → voxel downsample (:280-323) ---
+    all_pts = state.frames_pts.reshape(F * S, 3)
+    all_mask = state.frames_mask.reshape(F * S)
+    map_pts, map_mask = voxel_downsample(all_pts, all_mask, cfg.ds_leaf, cfg.map_cap)
+
+    # --- downsample the scan (sensor frame) into the query set ---
+    scan_q, scan_q_mask = voxel_downsample(surf_pts, surf_mask, cfg.ds_leaf, cfg.query_cap)
+
+    # --- matching rounds: 8 for the first two frames, else scan_match_cnt ---
+    match_cnt = jnp.where(state.frame_id < 2, cfg.max_rounds, cfg.scan_match_cnt)
+    have_map = jnp.sum(map_mask.astype(jnp.int32)) >= 10  # (:485-488)
+
+    def round_body(i, carry):
+        t, q, n_corr = carry
+
+        def do(_):
+            return _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg)
+
+        def skip(_):
+            return t, q, n_corr
+
+        return jax.lax.cond((i < match_cnt) & have_map, do, skip, None)
+
+    t, q, n_corr = jax.lax.fori_loop(
+        0, cfg.max_rounds, round_body,
+        (t_guess, q_guess, jnp.zeros((), jnp.int32)),
+    )
+    q = unify_quaternion(q)
+
+    # --- keyframe decision (:573-585) ---
+    dis = jnp.linalg.norm(t - state.kf_t)
+    dq = quat_mul(quat_conj(state.kf_q), q)
+    ang = 2.0 * jnp.arccos(jnp.clip(jnp.abs(dq[0]), -1.0, 1.0))
+    since = state.frame_id - state.kf_frame
+    is_kf = (
+        (((dis > cfg.kf_dist) | (ang > cfg.kf_angle)) & (since > 1))
+        | (since > 2)
+        | (state.frame_id <= 1)
+    )
+    kf_t = jnp.where(is_kf, t, state.kf_t)
+    kf_q = jnp.where(is_kf, q, state.kf_q)
+    kf_frame = jnp.where(is_kf, state.frame_id, state.kf_frame)
+
+    # --- /each_odom relative pose (:609-622) ---
+    out_rel_t, out_rel_q = pose_relative(state.t, state.q, t, q)
+
+    # --- ring-buffer insert of this frame's surf cloud in world frame ---
+    world_scan = quat_rotate(q[None, :], surf_pts) + t[None, :]
+    frames_pts = state.frames_pts.at[state.write_idx].set(world_scan.astype(dtype))
+    frames_mask = state.frames_mask.at[state.write_idx].set(surf_mask)
+
+    new_state = OdometryState(
+        frames_pts=frames_pts,
+        frames_mask=frames_mask,
+        write_idx=(state.write_idx + 1) % F,
+        frame_id=state.frame_id + 1,
+        t=t, q=q, t_prev=state.t, q_prev=state.q,
+        kf_t=kf_t, kf_q=kf_q, kf_frame=kf_frame,
+    )
+    out = OdometryOut(t=t, q=q, rel_t=out_rel_t, rel_q=out_rel_q,
+                      is_keyframe=is_kf, n_corr=n_corr)
+    return new_state, out

@@ -84,7 +84,13 @@ def knn(
         new_i = jnp.take_along_axis(cat_i, arg, axis=1)
         return (new_d, new_i), None
 
-    init = (jnp.full((Q, k), INF, dtype), jnp.zeros((Q, k), jnp.int32))
+    # derive the carry init from `queries` so it inherits any varying manual
+    # axes under shard_map (constants would fail the vma check in the scan)
+    vary0 = queries[:, :1] * 0.0
+    init = (
+        jnp.broadcast_to(vary0, (Q, k)) + INF,
+        jnp.broadcast_to(vary0.astype(jnp.int32), (Q, k)),
+    )
     tile_idx0 = (jnp.arange(n_tiles) * tile_p).astype(jnp.int32)
     (best_d, best_i), _ = jax.lax.scan(tile_step, init, (pts_t, pm_t, tile_idx0))
     best_d = jnp.maximum(best_d, 0.0)  # clamp matmul round-off

@@ -14,13 +14,21 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-_B = jnp.int64(1 << 20)  # coordinate offset to keep packed keys positive
+_BITS = 10  # cells per axis = 1024 → extent ≤ 1024·leaf (409 m at 0.4 m leaf)
 
 
-def voxel_keys(pts: jnp.ndarray, leaf: float) -> jnp.ndarray:
-    """int64 packed voxel key per point."""
-    cells = jnp.floor(pts / leaf).astype(jnp.int64) + _B
-    return (cells[..., 0] << 42) | (cells[..., 1] << 21) | cells[..., 2]
+def voxel_keys(pts: jnp.ndarray, leaf: float, mask: jnp.ndarray) -> jnp.ndarray:
+    """int32 packed voxel key per point, relative to the cloud's min cell.
+
+    Keys are 3×10 bits (int32-safe without x64). Cells are offset by the
+    masked minimum so the packing covers the cloud's actual extent; clouds
+    wider than 1024·leaf per axis clamp outliers into the border voxels
+    (harmless at LiDAR ranges ≤ 200 m, SURVEY.md §6)."""
+    cells = jnp.floor(pts / leaf).astype(jnp.int32)
+    big = jnp.int32(2**30)
+    cmin = jnp.min(jnp.where(mask[..., None], cells, big), axis=-2)
+    rel = jnp.clip(cells - cmin, 0, (1 << _BITS) - 1)
+    return (rel[..., 0] << (2 * _BITS)) | (rel[..., 1] << _BITS) | rel[..., 2]
 
 
 @partial(jax.jit, static_argnames=("max_out",))
@@ -43,8 +51,8 @@ def voxel_downsample(
       (out, out_feats (max_out,F), out_mask).
     """
     N = pts.shape[0]
-    key = voxel_keys(pts, leaf)
-    key = jnp.where(mask, key, jnp.int64(jnp.iinfo(jnp.int64).max))
+    key = voxel_keys(pts, leaf, mask)
+    key = jnp.where(mask, key, jnp.int32(jnp.iinfo(jnp.int32).max))
     order = jnp.argsort(key)
     key_s = key[order]
     pts_s = pts[order]
@@ -67,6 +75,20 @@ def voxel_downsample(
         fout = jnp.where(out_mask[:, None], fsums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
         return out, fout, out_mask
     return out, out_mask
+
+
+def pad_cloud(pts: jnp.ndarray, mask: jnp.ndarray, cap: int):
+    """Pad or truncate a (N,3) cloud + mask to a static capacity."""
+    n = pts.shape[0]
+    if n == cap:
+        return pts, mask
+    if n > cap:
+        return pts[:cap], mask[:cap]
+    pad = cap - n
+    return (
+        jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)]),
+        jnp.concatenate([mask, jnp.zeros((pad,), bool)]),
+    )
 
 
 def remove_close_points(pts: jnp.ndarray, mask: jnp.ndarray, min_range: float) -> jnp.ndarray:

@@ -67,7 +67,10 @@ def livox_pattern(n_lines: int = 6, pts_per_line: int = 4000,
     li = jnp.arange(n_lines, dtype=dtype)
     phase = 2.0 * np.pi * li / n_lines
     tt = t[None, :] * period
-    az = jnp.deg2rad(fov_h_deg / 2) * jnp.sin(2 * np.pi * f_fast * tt + phase[:, None])
+    # all 6 beams share the azimuth sweep (they are vertically stacked and
+    # move together — required for the reference's 6-line × 6-column patch
+    # statistics, LiLi-OM/src/Preprocessing.cpp:270-298)
+    az = jnp.deg2rad(fov_h_deg / 2) * jnp.sin(2 * np.pi * f_fast * tt) * jnp.ones_like(phase[:, None])
     band = jnp.deg2rad(fov_v_deg) * ((li + 0.5) / n_lines - 0.5)
     el = band[:, None] + jnp.deg2rad(fov_v_deg / (2 * n_lines)) * jnp.sin(
         2 * np.pi * f_slow * tt + 2.3 * phase[:, None]
