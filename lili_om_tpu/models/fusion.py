@@ -1,0 +1,504 @@
+"""Backend sliding-window LiDAR-inertial fusion — the TPU-native re-design of
+``LiLi-OM/src/BackendFusion.cpp`` (the core estimator).
+
+One jitted program per keyframe replaces the ROS node's ``run()`` path
+(BackendFusion.cpp:2725-2749):
+
+* IMU batch propagation + preintegration for the new interval
+  (processIMU :801-827, saveKeyFramesAndFactors :1700-1771) with the
+  reference's accel clamping (±15/±18 m/s², :1717-1723);
+* local feature map from the ``local_map_width`` most recent keyframes,
+  transformed by their current best poses and voxel-downsampled
+  (buildLocalMapWithLandMark :1387-1484, downSampleCloud :1486-1528);
+* batched correspondence search for every window keyframe at once:
+  exact 5-NN (MXU-tiled) → line fits with the λ₂>3λ₁ gate and ±0.1·dir
+  virtual points (findCorrespondingCornerFeatures :1531-1599), and
+  reflectivity-weighted plane fits with the ``sum_w``/``reflect_thres``
+  gates (findCorrespondingSurfFeatures :1601-1681);
+* the sliding-window MAP problem (optimizeSlidingWindowWithLandMark
+  :830-1287): marginalization prior + (optional) speed-bias priors + IMU
+  factors + lidar factors with Cauchy-1.0 IRLS, solved by Gauss-Newton on
+  the 15·W-dim tangent via one dense Cholesky per iteration;
+* guarded write-back (update-rejection gates :1215-1283);
+* Schur-complement marginalization of the exiting keyframe into the new
+  linear prior (:1009-1184 + MarginalizationFactor.cpp) as one XLA program.
+
+Everything is fixed-shape; the keyframe history is a ring buffer; the
+"problem assembly" is matmuls, not a factor registry.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.imu import imu_factor, retract_state
+from ..factors.lidar import (
+    EdgeFactorBatch,
+    PlaneFactorBatch,
+    body_points,
+    cauchy_weight,
+    edge_residual,
+    plane_residual,
+)
+from ..factors.prior import MarginalPrior, marginal_prior_residual, speed_bias_prior
+from ..ops.knn import knn
+from ..ops.marginalization import schur_marginalize
+from ..ops.preintegration import ImuNoise, Preint, init_preint, integrate, propagate_world
+from ..ops.voxel import voxel_downsample
+from ..solver.gn import solve_normal
+from ..utils.math import quat_conj, quat_mul, quat_normalize, quat_rotate, unify_quaternion
+
+
+class FusionConfig(NamedTuple):
+    """Static backend knobs. Defaults = Livox FR_IOSB
+    (LiLi-OM/config/config_fr_iosb.yaml)."""
+
+    window: int = 3  # slide_window_width
+    local_map_width: int = 40
+    kf_surf_cap: int = 4096  # stored surf points per keyframe
+    kf_edge_cap: int = 1024  # stored edge points per keyframe
+    map_surf_cap: int = 32768
+    map_edge_cap: int = 8192
+    surf_leaf: float = 0.4  # surf_ds
+    edge_leaf: float = 0.2  # edge_ds
+    imu_cap: int = 256  # max IMU samples per keyframe interval
+    k: int = 5
+    kd_max_radius: float = 1.0  # surf 5th-NN gate (config)
+    edge_nn_gate: float = 1.0  # corner 5th-NN gate (hardcoded :1543)
+    surf_dist_thres: float = 0.12
+    reflect_thres: float = 15.0
+    lidar_const: float = 20.0
+    cauchy_c: float = 1.0
+    max_num_iter: int = 10  # GN iterations (Ceres max_num_iter=15 cap)
+    use_reflectivity: bool = True  # Livox variant; False → ROT plain fit
+    weight_gate: float = 0.2  # surf weight keep gate (0.3 in ROT :1464-1521)
+    damping: float = 1e-6
+    # lidar→body extrinsic (config ql2b/tl2b); identity by default
+    q_lb: tuple = (1.0, 0.0, 0.0, 0.0)
+    t_lb: tuple = (0.0, 0.0, 0.0)
+
+
+class FusionState(NamedTuple):
+    # --- sliding window (W, ·) ---
+    t: jnp.ndarray
+    q: jnp.ndarray
+    v: jnp.ndarray
+    ba: jnp.ndarray
+    bg: jnp.ndarray
+    preints: Preint  # stacked (W-1) intervals between consecutive window kfs
+    prior: MarginalPrior  # over window[0..W-2]
+    sb_anchor_on: jnp.ndarray  # () bool — ``!marg``: add speed-bias priors once
+    # --- keyframe history ring buffer (M = local_map_width slots) ---
+    hist_surf: jnp.ndarray  # (M, Sc, 3) sensor frame
+    hist_surf_mask: jnp.ndarray  # (M, Sc)
+    hist_surf_refl: jnp.ndarray  # (M, Sc) curvature channel (0.1·reflectivity)
+    hist_edge: jnp.ndarray  # (M, Ec, 3)
+    hist_edge_mask: jnp.ndarray  # (M, Ec)
+    hist_t: jnp.ndarray  # (M, 3) latest pose estimates
+    hist_q: jnp.ndarray  # (M, 4)
+    hist_valid: jnp.ndarray  # (M,)
+    write_idx: jnp.ndarray  # () int32
+    kf_count: jnp.ndarray  # () int32
+    # --- IMU chaining ---
+    acc0: jnp.ndarray  # (3,) last consumed sample
+    gyr0: jnp.ndarray  # (3,)
+
+
+class FusionOut(NamedTuple):
+    t_latest: jnp.ndarray  # (3,) newest keyframe pose (post-opt)
+    q_latest: jnp.ndarray
+    t_mature: jnp.ndarray  # (3,) oldest window keyframe pose — /odom_mapped
+    q_mature: jnp.ndarray  # (publishOdometry :2313-2387)
+    v_latest: jnp.ndarray
+    ba_latest: jnp.ndarray
+    bg_latest: jnp.ndarray
+    n_surf_corr: jnp.ndarray  # () int32 total surf correspondences
+    n_edge_corr: jnp.ndarray
+
+
+def init_fusion_state(cfg: FusionConfig, noise: ImuNoise,
+                      t0=None, q0=None, v0=None, dtype=jnp.float32) -> FusionState:
+    """Fresh state; ``q0`` seeds the first orientation (the reference reads it
+    from the IMU's orientation quaternion, imuHandler :624-665)."""
+    W, M = cfg.window, cfg.local_map_width
+    Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
+    qid = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+    t0 = jnp.zeros(3, dtype) if t0 is None else jnp.asarray(t0, dtype)
+    q0 = qid if q0 is None else jnp.asarray(q0, dtype)
+    v0 = jnp.zeros(3, dtype) if v0 is None else jnp.asarray(v0, dtype)
+    pre0 = init_preint(jnp.zeros(3, dtype), jnp.zeros(3, dtype), noise, dtype=dtype)
+    preints = jax.tree.map(lambda a: jnp.broadcast_to(a, (W - 1,) + a.shape), pre0)
+    D = 15 * (W - 1)
+    prior = MarginalPrior(
+        J=jnp.zeros((D, D), dtype), r0=jnp.zeros((D,), dtype),
+        t0=jnp.zeros((W - 1, 3), dtype), q0=jnp.tile(qid, (W - 1, 1)),
+        v0=jnp.zeros((W - 1, 3), dtype), ba0=jnp.zeros((W - 1, 3), dtype),
+        bg0=jnp.zeros((W - 1, 3), dtype), valid=jnp.zeros((), bool),
+    )
+    return FusionState(
+        t=jnp.tile(t0, (W, 1)), q=jnp.tile(q0, (W, 1)), v=jnp.tile(v0, (W, 1)),
+        ba=jnp.zeros((W, 3), dtype), bg=jnp.zeros((W, 3), dtype),
+        preints=preints, prior=prior, sb_anchor_on=jnp.zeros((), bool),
+        hist_surf=jnp.zeros((M, Sc, 3), dtype), hist_surf_mask=jnp.zeros((M, Sc), bool),
+        hist_surf_refl=jnp.zeros((M, Sc), dtype),
+        hist_edge=jnp.zeros((M, Ec, 3), dtype), hist_edge_mask=jnp.zeros((M, Ec), bool),
+        hist_t=jnp.zeros((M, 3), dtype), hist_q=jnp.tile(qid, (M, 1)),
+        hist_valid=jnp.zeros((M,), bool),
+        write_idx=jnp.zeros((), jnp.int32), kf_count=jnp.zeros((), jnp.int32),
+        acc0=jnp.zeros(3, dtype), gyr0=jnp.zeros(3, dtype),
+    )
+
+
+def clamp_accel(accs: jnp.ndarray) -> jnp.ndarray:
+    """Reference accel clamping: ±15 m/s² on x/y, ±18 on z (:1717-1723)."""
+    lo = jnp.array([-15.0, -15.0, -18.0], accs.dtype)
+    hi = jnp.array([15.0, 15.0, 18.0], accs.dtype)
+    return jnp.clip(accs, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Correspondence search (batched over all window keyframes at once)
+# ---------------------------------------------------------------------------
+
+
+def _surf_correspondences(pts_b, pts_mask, refl, t_w, q_w, map_pts, map_mask, map_refl,
+                          cfg: FusionConfig):
+    """Reflectivity-weighted plane correspondences for one window keyframe.
+
+    Mirrors findCorrespondingSurfFeatures (:1601-1681); all quirks kept:
+    the weight normalization ``(1/Δc_j)/Σ|Δc_k|`` (:1625-1631), the
+    world-origin-normed decay weight (:1655), the score
+    ``lidar_const·(weight+exp(−sum_w))`` multiplying the weight-scaled
+    normal (:1658-1676).
+    """
+    pw = quat_rotate(q_w[None, :], pts_b) + t_w[None, :]
+    d2, idx = knn(pw, map_pts, k=cfg.k, p_mask=map_mask)
+    nbrs = map_pts[idx]
+    nn_ok = d2[:, cfg.k - 1] < cfg.kd_max_radius
+
+    if cfg.use_reflectivity:
+        dcurv = jnp.abs(refl[:, None] - map_refl[idx])  # (Q,k)
+        dcurv = jnp.maximum(dcurv, 1e-6)
+        sum_w = jnp.sum(dcurv, axis=-1)
+        vec_w = (1.0 / dcurv) / sum_w[:, None]
+        refl_ok = sum_w <= cfg.reflect_thres
+    else:
+        sum_w = jnp.zeros(pts_b.shape[0], pts_b.dtype)
+        vec_w = jnp.ones(idx.shape, pts_b.dtype)
+        refl_ok = jnp.ones(pts_b.shape[0], bool)
+
+    # weighted least squares (diag(w)·P)n = −w  →  normal equations
+    w2 = vec_w * vec_w
+    AtA = jnp.einsum("qk,qki,qkj->qij", w2, nbrs, nbrs)
+    Atb = -jnp.einsum("qk,qki->qi", w2, nbrs)
+    n_raw = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(3, dtype=nbrs.dtype), Atb[..., None])[..., 0]
+    norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
+    normal = n_raw / norm
+    d_off = 1.0 / norm[..., 0]
+    pd_nbr = jnp.abs(jnp.einsum("qki,qi->qk", nbrs, normal) + d_off[:, None])
+    plane_ok = jnp.all(pd_nbr <= cfg.surf_dist_thres, axis=-1)
+
+    pd = jnp.sum(normal * pw, axis=-1) + d_off
+    pw_norm = jnp.sqrt(jnp.maximum(jnp.linalg.norm(pw, axis=-1), 1e-9))
+    weight = 1.0 - 0.9 * jnp.abs(pd) / pw_norm
+    keep = pts_mask & nn_ok & refl_ok & plane_ok & (weight > cfg.weight_gate)
+    if cfg.use_reflectivity:
+        score = cfg.lidar_const * (weight + jnp.exp(-sum_w)) * weight
+    else:
+        score = cfg.lidar_const * weight  # ROT: plain (BackendFusion ROT:1464-1521)
+    return PlaneFactorBatch(
+        pts=pts_b, normals=normal, offsets=d_off,
+        scores=jnp.where(keep, score, 0.0), mask=keep,
+    )
+
+
+def _edge_correspondences(pts_b, pts_mask, t_w, q_w, map_pts, map_mask, cfg: FusionConfig):
+    """Line correspondences (findCorrespondingCornerFeatures :1531-1599):
+    5-NN, covariance eigendecomposition, λ₂>3·λ₁ gate, virtual points at
+    centroid ± 0.1·direction; factor weight = lidar_const."""
+    pw = quat_rotate(q_w[None, :], pts_b) + t_w[None, :]
+    d2, idx = knn(pw, map_pts, k=cfg.k, p_mask=map_mask)
+    nbrs = map_pts[idx]
+    nn_ok = d2[:, cfg.k - 1] < cfg.edge_nn_gate
+
+    center = jnp.mean(nbrs, axis=-2)
+    ctr = nbrs - center[:, None, :]
+    cov = jnp.einsum("qki,qkj->qij", ctr, ctr)
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    direction = evecs[..., :, 2]
+    line_ok = evals[..., 2] > 3.0 * evals[..., 1]
+
+    keep = pts_mask & nn_ok & line_ok
+    return EdgeFactorBatch(
+        pts=pts_b,
+        point_a=center + 0.1 * direction,
+        point_b=center - 0.1 * direction,
+        scores=jnp.where(keep, cfg.lidar_const, 0.0),
+        mask=keep,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window problem assembly
+# ---------------------------------------------------------------------------
+
+
+def _assemble(ts, qs, vs, bas, bgs, preints, prior, sb_on, sb_anchor,
+              surf_batches, edge_batches, noise, cfg: FusionConfig):
+    """Build (H, g) of the full-window GN system (D = 15·W) at the given
+    states. g uses the +ΣJᵀr sign convention (as the reference's
+    marginalization does, MarginalizationFactor.cpp:151-174)."""
+    W = cfg.window
+    D = 15 * W
+    dtype = ts.dtype
+    H = jnp.zeros((D, D), dtype)
+    g = jnp.zeros((D,), dtype)
+
+    # marginalization prior over window[0..W-2]
+    rp, Jp = marginal_prior_residual(prior, ts[:-1], qs[:-1], vs[:-1], bas[:-1], bgs[:-1])
+    Dp = 15 * (W - 1)
+    H = H.at[:Dp, :Dp].add(Jp.T @ Jp)
+    g = g.at[:Dp].add(Jp.T @ rp)
+
+    # speed-bias priors (post-loop re-anchoring, :892-904)
+    v0a, ba0a, bg0a = sb_anchor
+    on = sb_on.astype(dtype)
+    for i in range(W - 1):
+        rsb, Jsb = speed_bias_prior(vs[i], bas[i], bgs[i], v0a[i], ba0a[i], bg0a[i])
+        o = 15 * i + 6
+        H = H.at[o:o + 9, o:o + 9].add(on * (Jsb.T @ Jsb))
+        g = g.at[o:o + 9].add(on * (Jsb.T @ rsb))
+
+    # IMU factors between consecutive keyframes (:906-917)
+    for i in range(W - 1):
+        pre_i = jax.tree.map(lambda a: a[i], preints)
+        r, Ji, Jj = imu_factor(
+            pre_i, noise,
+            ts[i], qs[i], vs[i], bas[i], bgs[i],
+            ts[i + 1], qs[i + 1], vs[i + 1], bas[i + 1], bgs[i + 1],
+        )
+        oi, oj = 15 * i, 15 * (i + 1)
+        H = H.at[oi:oi + 15, oi:oi + 15].add(Ji.T @ Ji)
+        H = H.at[oj:oj + 15, oj:oj + 15].add(Jj.T @ Jj)
+        H = H.at[oi:oi + 15, oj:oj + 15].add(Ji.T @ Jj)
+        H = H.at[oj:oj + 15, oi:oi + 15].add(Jj.T @ Ji)
+        g = g.at[oi:oi + 15].add(Ji.T @ r)
+        g = g.at[oj:oj + 15].add(Jj.T @ r)
+
+    # lidar factors per window keyframe, Cauchy-1.0 IRLS (:938-974)
+    for j in range(W):
+        o = 15 * j
+        sb = jax.tree.map(lambda a: a[j], surf_batches)
+        r, J = plane_residual(ts[j], qs[j], sb)
+        w = cauchy_weight(r * r, cfg.cauchy_c)
+        Jw = J * w[:, None]
+        rw = r * w
+        H = H.at[o:o + 6, o:o + 6].add(Jw.T @ Jw)
+        g = g.at[o:o + 6].add(Jw.T @ rw)
+
+        eb = jax.tree.map(lambda a: a[j], edge_batches)
+        re, Je = edge_residual(ts[j], qs[j], eb)
+        we = cauchy_weight(re * re, cfg.cauchy_c)
+        Jew = Je * we[:, None]
+        rew = re * we
+        H = H.at[o:o + 6, o:o + 6].add(Jew.T @ Jew)
+        g = g.at[o:o + 6].add(Jew.T @ rew)
+
+    return H, g
+
+
+def _retract_window(ts, qs, vs, bas, bgs, delta):
+    """Apply the stacked 15·W tangent step to all window states."""
+    W = ts.shape[0]
+    d = delta.reshape(W, 15)
+    out = jax.vmap(retract_state)(ts, qs, vs, bas, bgs, d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The per-keyframe step
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "noise"))
+def fusion_step(
+    state: FusionState,
+    surf_pts: jnp.ndarray,  # (Sc,3) lidar frame (frontend-downsampled)
+    surf_mask: jnp.ndarray,
+    surf_refl: jnp.ndarray,  # (Sc,) curvature channel
+    edge_pts: jnp.ndarray,  # (Ec,3)
+    edge_mask: jnp.ndarray,
+    imu_dts: jnp.ndarray,  # (imu_cap,)
+    imu_accs: jnp.ndarray,  # (imu_cap,3)
+    imu_gyrs: jnp.ndarray,  # (imu_cap,3)
+    imu_valid: jnp.ndarray,  # (imu_cap,)
+    cfg: FusionConfig = FusionConfig(),
+    noise: ImuNoise = ImuNoise(),
+):
+    """Ingest one keyframe: IMU propagate + preintegrate, window shift,
+    local-map correspondence, sliding-window GN, guarded write-back,
+    marginalization, ring-buffer update."""
+    W, M = cfg.window, cfg.local_map_width
+    dtype = state.t.dtype
+    q_lb = jnp.asarray(cfg.q_lb, dtype)
+    t_lb = jnp.asarray(cfg.t_lb, dtype)
+
+    accs = clamp_accel(imu_accs)
+
+    # --- A: IMU propagation from the newest window state (:801-827) ---
+    t_new, q_new, v_new, acc0, gyr0 = propagate_world(
+        state.t[-1], state.q[-1], state.v[-1], state.ba[-1], state.bg[-1],
+        noise, state.acc0, state.gyr0, imu_dts, accs, imu_gyrs, imu_valid,
+    )
+    pre_new = integrate(noise, state.ba[-1], state.bg[-1], state.acc0, state.gyr0,
+                        imu_dts, accs, imu_gyrs, imu_valid)
+    # first keyframe: no propagation (no previous interval)
+    first = state.kf_count == 0
+    t_new = jnp.where(first, state.t[-1], t_new)
+    q_new = jnp.where(first, state.q[-1], q_new)
+    v_new = jnp.where(first, state.v[-1], v_new)
+
+    # --- B: shift window, append new keyframe state ---
+    roll = lambda a: jnp.roll(a, -1, axis=0)
+    ts = roll(state.t).at[-1].set(t_new)
+    qs = roll(state.q).at[-1].set(q_new)
+    vs = roll(state.v).at[-1].set(v_new)
+    bas = roll(state.ba).at[-1].set(state.ba[-1])
+    bgs = roll(state.bg).at[-1].set(state.bg[-1])
+    preints = jax.tree.map(
+        lambda a, n: jnp.roll(a, -1, axis=0).at[-1].set(n), state.preints, pre_new
+    )
+
+    # --- C: local map from history (excluding the incoming keyframe) ---
+    hist_world = quat_rotate(state.hist_q[:, None, :], state.hist_surf) + state.hist_t[:, None, :]
+    hmask = state.hist_surf_mask & state.hist_valid[:, None]
+    map_surf, map_refl, map_surf_mask = voxel_downsample(
+        hist_world.reshape(M * cfg.kf_surf_cap, 3),
+        hmask.reshape(-1), cfg.surf_leaf, cfg.map_surf_cap,
+        feats=state.hist_surf_refl.reshape(-1, 1),
+    )
+    map_refl = map_refl[:, 0]
+    hist_edge_world = quat_rotate(state.hist_q[:, None, :], state.hist_edge) + state.hist_t[:, None, :]
+    emask = state.hist_edge_mask & state.hist_valid[:, None]
+    map_edge, map_edge_mask = voxel_downsample(
+        hist_edge_world.reshape(M * cfg.kf_edge_cap, 3),
+        emask.reshape(-1), cfg.edge_leaf, cfg.map_edge_cap,
+    )
+    enough_map = (jnp.sum(map_surf_mask.astype(jnp.int32)) > 50) & (
+        jnp.sum(map_edge_mask.astype(jnp.int32)) > 0
+    )  # (:936)
+
+    # --- D: insert incoming keyframe into the ring buffer ---
+    wi = state.write_idx
+    hist_surf = state.hist_surf.at[wi].set(surf_pts)
+    hist_surf_mask = state.hist_surf_mask.at[wi].set(surf_mask)
+    hist_surf_refl = state.hist_surf_refl.at[wi].set(surf_refl)
+    hist_edge = state.hist_edge.at[wi].set(edge_pts)
+    hist_edge_mask = state.hist_edge_mask.at[wi].set(edge_mask)
+    hist_valid = state.hist_valid.at[wi].set(True)
+
+    # --- E: window keyframe clouds (gathered from the ring buffer) ---
+    # window keyframe j sits at slot (wi - (W-1) + j) mod M, post-insert
+    slots = (wi - (W - 1) + jnp.arange(W)) % M
+    win_surf = hist_surf[slots]  # (W, Sc, 3)
+    win_surf_mask = hist_surf_mask[slots]
+    win_surf_refl = hist_surf_refl[slots]
+    win_edge = hist_edge[slots]
+    win_edge_mask = hist_edge_mask[slots]
+
+    # pre-apply the lidar→body extrinsic (factor quirk: planes apply it,
+    # edges don't — LidarKeyframeFactor.h:37-43 vs :92-96)
+    win_surf_b = jax.vmap(lambda p: body_points(p, t_lb, q_lb))(win_surf)
+    win_edge_b = win_edge
+
+    surf_batches = jax.vmap(
+        _surf_correspondences, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
+    )(win_surf_b, win_surf_mask, win_surf_refl, ts, qs, map_surf, map_surf_mask,
+      map_refl, cfg)
+    edge_batches = jax.vmap(
+        _edge_correspondences, in_axes=(0, 0, 0, 0, None, None, None)
+    )(win_edge_b, win_edge_mask, ts, qs, map_edge, map_edge_mask, cfg)
+    # disable lidar factors when the map is too sparse (:936, start-up)
+    surf_batches = surf_batches._replace(
+        mask=surf_batches.mask & enough_map,
+        scores=surf_batches.scores * enough_map.astype(dtype))
+    edge_batches = edge_batches._replace(
+        mask=edge_batches.mask & enough_map,
+        scores=edge_batches.scores * enough_map.astype(dtype))
+
+    # --- F: Gauss-Newton over the window tangent ---
+    run_opt = state.kf_count + 1 >= W  # window full (:833)
+    sb_anchor = (vs[:-1], bas[:-1], bgs[:-1])  # pre-solve anchors (:896-903)
+
+    def gn_iter(_, carry):
+        ts, qs, vs, bas, bgs = carry
+        H, g = _assemble(ts, qs, vs, bas, bgs, preints, state.prior,
+                         state.sb_anchor_on, sb_anchor,
+                         surf_batches, edge_batches, noise, cfg)
+        delta = solve_normal(H, -g, cfg.damping)
+        return _retract_window(ts, qs, vs, bas, bgs, delta)
+
+    def do_opt(carry):
+        return jax.lax.fori_loop(0, cfg.max_num_iter, gn_iter, carry)
+
+    ts1, qs1, vs1, bas1, bgs1 = jax.lax.cond(
+        run_opt, do_opt, lambda c: c, (ts, qs, vs, bas, bgs))
+    qs1 = unify_quaternion(qs1)
+
+    # --- G: guarded write-back (:1215-1283) ---
+    def gate(new, old, thresh, per_component=False):
+        if per_component:
+            ok = jnp.abs(new - old) < thresh
+        else:
+            ok = (jnp.linalg.norm(new - old, axis=-1) < thresh)[..., None]
+        return jnp.where(ok, new, old)
+
+    ts1 = gate(ts1, ts, 10.0)
+    vs1 = gate(vs1, vs, 10.0)
+    bas1 = gate(bas1, bas, 22.0, per_component=True)
+    bgs1 = gate(bgs1, bgs, 22.0, per_component=True)
+    dq_vec = jnp.linalg.norm(quat_mul(quat_conj(qs1), qs)[..., 1:], axis=-1)
+    qs1 = jnp.where((dq_vec < 10.0)[:, None], qs1, qs)  # always true in practice
+    qs1 = quat_normalize(qs1)
+
+    # --- H: marginalize the exiting keyframe into the new prior ---
+    def do_marg(_):
+        H, g = _assemble(ts1, qs1, vs1, bas1, bgs1, preints, state.prior,
+                         state.sb_anchor_on, sb_anchor,
+                         surf_batches, edge_batches, noise, cfg)
+        J, r0 = schur_marginalize(H, g, 15)
+        return MarginalPrior(
+            J=J, r0=r0, t0=ts1[1:], q0=qs1[1:], v0=vs1[1:],
+            ba0=bas1[1:], bg0=bgs1[1:], valid=jnp.ones((), bool),
+        )
+
+    prior = jax.lax.cond(run_opt, do_marg, lambda _: state.prior, None)
+    sb_anchor_on = jnp.where(run_opt, False, state.sb_anchor_on)
+
+    # --- I: write optimized window poses back into the ring buffer ---
+    hist_t = state.hist_t.at[wi].set(t_new)  # placeholder, fixed below
+    hist_q = state.hist_q.at[wi].set(q_new)
+    hist_t = hist_t.at[slots].set(ts1)
+    hist_q = hist_q.at[slots].set(qs1)
+
+    new_state = FusionState(
+        t=ts1, q=qs1, v=vs1, ba=bas1, bg=bgs1,
+        preints=preints, prior=prior, sb_anchor_on=sb_anchor_on,
+        hist_surf=hist_surf, hist_surf_mask=hist_surf_mask,
+        hist_surf_refl=hist_surf_refl,
+        hist_edge=hist_edge, hist_edge_mask=hist_edge_mask,
+        hist_t=hist_t, hist_q=hist_q, hist_valid=hist_valid,
+        write_idx=(wi + 1) % M, kf_count=state.kf_count + 1,
+        acc0=jnp.where(first, acc0, acc0), gyr0=gyr0,
+    )
+    out = FusionOut(
+        t_latest=ts1[-1], q_latest=qs1[-1],
+        t_mature=ts1[0], q_mature=qs1[0],
+        v_latest=vs1[-1], ba_latest=bas1[-1], bg_latest=bgs1[-1],
+        n_surf_corr=jnp.sum(surf_batches.mask.astype(jnp.int32)).astype(jnp.int32),
+        n_edge_corr=jnp.sum(edge_batches.mask.astype(jnp.int32)).astype(jnp.int32),
+    )
+    return new_state, out

@@ -1,0 +1,200 @@
+"""Global pose graph — the TPU-native replacement for GTSAM/iSAM2
+(LiLi-OM/src/BackendFusion.cpp:1820-1878 graph construction, :2602-2628 loop
+factors, :2177-2311 correctPoses).
+
+Design: instead of incremental Bayes-tree updates, the whole graph is
+re-solved as one batched Gauss-Newton program — fixed-capacity node/factor
+arrays with validity masks, all factor residuals/Jacobians evaluated by one
+vmapped autodiff pass, the block-sparse normal equations accumulated with a
+flat scatter-add, and a dense Cholesky solve. At LiLi-OM scales (10²–10³
+keyframes) a full batched re-solve on the MXU is faster than an
+incremental CPU update, and it is embarrassingly shardable.
+
+Factors:
+* prior on node 0 (gtsam PriorFactor, :1829-1835);
+* between factors along the odometry chain (:1845-1876);
+* loop-closure between factors with fitness-scaled noise (:2602-2615).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.lidar import relative_pose_residual
+from ..solver.gn import solve_normal
+from ..utils.math import exp_so3, pose_relative, quat_mul, quat_normalize
+
+
+class PoseGraph(NamedTuple):
+    """Fixed-capacity graph state (N nodes, F chain factors, L loop factors)."""
+
+    t: jnp.ndarray  # (N,3) node positions
+    q: jnp.ndarray  # (N,4)
+    node_valid: jnp.ndarray  # (N,)
+    # chain between-factors: i -> i+1 with measured relative pose
+    rel_t: jnp.ndarray  # (N,3)  factor i connects node i → i+1
+    rel_q: jnp.ndarray  # (N,4)
+    rel_valid: jnp.ndarray  # (N,)
+    rel_weight: jnp.ndarray  # (N,) sqrt-information scale
+    # loop factors
+    loop_i: jnp.ndarray  # (L,) int32
+    loop_j: jnp.ndarray  # (L,) int32
+    loop_t: jnp.ndarray  # (L,3) pose of j in i's frame
+    loop_q: jnp.ndarray  # (L,4)
+    loop_valid: jnp.ndarray  # (L,)
+    loop_weight: jnp.ndarray  # (L,)
+    n_nodes: jnp.ndarray  # () int32
+    n_loops: jnp.ndarray  # () int32
+
+
+def init_graph(capacity: int, loop_capacity: int = 64, dtype=jnp.float32) -> PoseGraph:
+    qid = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+    N, L = capacity, loop_capacity
+    return PoseGraph(
+        t=jnp.zeros((N, 3), dtype), q=jnp.tile(qid, (N, 1)),
+        node_valid=jnp.zeros((N,), bool),
+        rel_t=jnp.zeros((N, 3), dtype), rel_q=jnp.tile(qid, (N, 1)),
+        rel_valid=jnp.zeros((N,), bool), rel_weight=jnp.ones((N,), dtype),
+        loop_i=jnp.zeros((L,), jnp.int32), loop_j=jnp.zeros((L,), jnp.int32),
+        loop_t=jnp.zeros((L, 3), dtype), loop_q=jnp.tile(qid, (L, 1)),
+        loop_valid=jnp.zeros((L,), bool), loop_weight=jnp.ones((L,), dtype),
+        n_nodes=jnp.zeros((), jnp.int32), n_loops=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def add_node(g: PoseGraph, t, q, chain_weight=100.0) -> PoseGraph:
+    """Append a node; if a predecessor exists, add the chain between-factor
+    with the measured relative pose (BackendFusion.cpp:1845-1876)."""
+    n = g.n_nodes
+    has_prev = n > 0
+    prev = jnp.maximum(n - 1, 0)
+    dt, dq = pose_relative(g.t[prev], g.q[prev], t, q)
+    g = g._replace(
+        t=g.t.at[n].set(t), q=g.q.at[n].set(q),
+        node_valid=g.node_valid.at[n].set(True),
+        rel_t=g.rel_t.at[prev].set(jnp.where(has_prev, dt, 0.0)),
+        rel_q=g.rel_q.at[prev].set(jnp.where(has_prev, dq, jnp.array([1.0, 0, 0, 0], dq.dtype))),
+        rel_valid=g.rel_valid.at[prev].max(has_prev),
+        rel_weight=g.rel_weight.at[prev].set(jnp.asarray(chain_weight, g.t.dtype)),
+        n_nodes=n + 1,
+    )
+    return g
+
+
+@jax.jit
+def add_loop(g: PoseGraph, i, j, rel_t, rel_q, fitness) -> PoseGraph:
+    """Add a loop-closure between-factor; noise scales with ICP fitness
+    (BackendFusion.cpp:2602-2615: noise = fitness·I₆ → weight 1/fitness)."""
+    l = g.n_loops
+    w = 1.0 / jnp.maximum(fitness, 1e-3)
+    return g._replace(
+        loop_i=g.loop_i.at[l].set(jnp.asarray(i, jnp.int32)),
+        loop_j=g.loop_j.at[l].set(jnp.asarray(j, jnp.int32)),
+        loop_t=g.loop_t.at[l].set(rel_t), loop_q=g.loop_q.at[l].set(rel_q),
+        loop_valid=g.loop_valid.at[l].set(True),
+        loop_weight=g.loop_weight.at[l].set(w.astype(g.t.dtype)),
+        n_loops=l + 1,
+    )
+
+
+def _between_block(t_i, q_i, t_j, q_j, dt, dq, w):
+    """Residual + Jacobians of one between-factor via autodiff through the
+    retraction. Returns (r(6,), Ji(6,6), Jj(6,6))."""
+
+    def res(di, dj):
+        ti2 = t_i + di[:3]
+        qi2 = quat_normalize(quat_mul(q_i, exp_so3(di[3:6])))
+        tj2 = t_j + dj[:3]
+        qj2 = quat_normalize(quat_mul(q_j, exp_so3(dj[3:6])))
+        return relative_pose_residual(ti2, qi2, tj2, qj2, dt, dq, w)
+
+    z = jnp.zeros(6, dtype=t_i.dtype)
+    r = res(z, z)
+    Ji = jax.jacfwd(res, argnums=0)(z, z)
+    Jj = jax.jacfwd(res, argnums=1)(z, z)
+    return r, Ji, Jj
+
+
+_between_batch = jax.vmap(_between_block)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def optimize_graph(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
+                   prior_weight: float = 1e4) -> PoseGraph:
+    """Batched GN over all node tangents (6 dof each). Node 0 is held by a
+    strong prior (gtsam PriorFactor with tight noise, :1829-1835)."""
+    N = g.t.shape[0]
+    D = 6 * N
+    dtype = g.t.dtype
+    idx = jnp.arange(N)
+    chain_i = idx
+    chain_j = jnp.minimum(idx + 1, N - 1)
+
+    def gn_iter(_, carry):
+        t, q = carry
+        # chain factors
+        rc, Jci, Jcj = _between_batch(
+            t[chain_i], q[chain_i], t[chain_j], q[chain_j],
+            g.rel_t, g.rel_q, g.rel_weight)
+        mc = g.rel_valid & (chain_i + 1 < g.n_nodes)
+        rc = jnp.where(mc[:, None], rc, 0.0)
+        Jci = jnp.where(mc[:, None, None], Jci, 0.0)
+        Jcj = jnp.where(mc[:, None, None], Jcj, 0.0)
+        # loop factors
+        rl, Jli, Jlj = _between_batch(
+            t[g.loop_i], q[g.loop_i], t[g.loop_j], q[g.loop_j],
+            g.loop_t, g.loop_q, g.loop_weight)
+        ml = g.loop_valid
+        rl = jnp.where(ml[:, None], rl, 0.0)
+        Jli = jnp.where(ml[:, None, None], Jli, 0.0)
+        Jlj = jnp.where(ml[:, None, None], Jlj, 0.0)
+
+        # accumulate H, gvec by flat scatter-add over block coordinates
+        H = jnp.zeros((D, D), dtype)
+        gv = jnp.zeros((D,), dtype)
+
+        def scatter(H, gv, i_nodes, j_nodes, r, Ji, Jj):
+            # per-factor blocks
+            Hii = jnp.einsum("fab,fac->fbc", Ji, Ji)
+            Hjj = jnp.einsum("fab,fac->fbc", Jj, Jj)
+            Hij = jnp.einsum("fab,fac->fbc", Ji, Jj)
+            gi = jnp.einsum("fab,fa->fb", Ji, r)
+            gj = jnp.einsum("fab,fa->fb", Jj, r)
+            bi = i_nodes * 6
+            bj = j_nodes * 6
+            off = jnp.arange(6)
+
+            def add_block(H, rows0, cols0, B):
+                rows = rows0[:, None, None] + off[None, :, None]
+                cols = cols0[:, None, None] + off[None, None, :]
+                return H.at[rows, cols].add(B)
+
+            H = add_block(H, bi, bi, Hii)
+            H = add_block(H, bj, bj, Hjj)
+            H = add_block(H, bi, bj, Hij)
+            H = add_block(H, bj, bi, jnp.swapaxes(Hij, -1, -2))
+            gv = gv.at[(bi[:, None] + off[None, :])].add(gi)
+            gv = gv.at[(bj[:, None] + off[None, :])].add(gj)
+            return H, gv
+
+        H, gv = scatter(H, gv, chain_i, chain_j, rc, Jci, Jcj)
+        H, gv = scatter(H, gv, g.loop_i, g.loop_j, rl, Jli, Jlj)
+
+        # anchor node 0 + freeze invalid nodes
+        anchor = jnp.where(idx == 0, prior_weight, 0.0)
+        freeze = jnp.where(g.node_valid, 0.0, 1e12)
+        diag = jnp.repeat(anchor + freeze, 6)
+        H = H + jnp.diag(diag.astype(dtype))
+
+        delta = solve_normal(H, -gv, damping)
+        d = delta.reshape(N, 6)
+        t = t + d[:, :3]
+        q = quat_normalize(quat_mul(q, exp_so3(d[:, 3:6])))
+        return (t, q)
+
+    t, q = jax.lax.fori_loop(0, n_iters, gn_iter, (g.t, g.q))
+    return g._replace(t=t, q=q)

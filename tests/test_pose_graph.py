@@ -1,0 +1,107 @@
+"""Global pose graph + ICP loop closure (replacing GTSAM/iSAM2 and PCL ICP,
+BackendFusion.cpp:1820-1878, :2552-2642)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lili_om_tpu.models.pose_graph import add_loop, add_node, init_graph, optimize_graph
+from lili_om_tpu.ops.icp import icp_point_to_plane
+from lili_om_tpu.utils.math import exp_so3, pose_relative, quat_mul, quat_normalize, quat_rotate
+
+
+def square_trajectory(n_side=5, side=10.0):
+    """Ground-truth poses around a closed square (returns to start)."""
+    ts, qs = [], []
+    yaw = 0.0
+    pos = np.zeros(3)
+    for leg in range(4):
+        for k in range(n_side):
+            ts.append(pos.copy())
+            qs.append(np.asarray(exp_so3(jnp.array([0.0, 0.0, yaw]))))
+            step = np.array([np.cos(yaw), np.sin(yaw), 0.0]) * (side / n_side)
+            pos = pos + step
+        yaw += np.pi / 2
+    return np.stack(ts), np.stack(qs)
+
+
+class TestPoseGraph:
+    def test_chain_only_reproduces_odometry(self):
+        ts, qs = square_trajectory()
+        g = init_graph(capacity=32, loop_capacity=4, dtype=jnp.float64)
+        for t, q in zip(ts, qs):
+            g = add_node(g, jnp.asarray(t), jnp.asarray(q))
+        g2 = optimize_graph(g, n_iters=5)
+        n = int(g.n_nodes)
+        np.testing.assert_allclose(np.asarray(g2.t[:n]), ts, atol=1e-6)
+
+    def test_loop_closure_corrects_drift(self):
+        """Inject odometry drift, close the loop with the true relative pose,
+        check the final node snaps back (correctPoses semantics)."""
+        ts, qs = square_trajectory()
+        n = len(ts)
+        # drifted odometry: accumulate relative poses with a yaw bias
+        g = init_graph(capacity=32, loop_capacity=4, dtype=jnp.float64)
+        t_d = jnp.asarray(ts[0])
+        q_d = jnp.asarray(qs[0])
+        g = add_node(g, t_d, q_d)
+        drift_rot = exp_so3(jnp.array([0.0, 0.0, 0.004]))  # per-step yaw bias
+        for k in range(1, n):
+            dt, dq = pose_relative(jnp.asarray(ts[k - 1]), jnp.asarray(qs[k - 1]),
+                                   jnp.asarray(ts[k]), jnp.asarray(qs[k]))
+            dq = quat_normalize(quat_mul(dq, drift_rot))
+            t_d = t_d + quat_rotate(q_d, dt)
+            q_d = quat_normalize(quat_mul(q_d, dq))
+            g = add_node(g, t_d, q_d)
+        drift_before = float(jnp.linalg.norm(g.t[n - 1] - jnp.asarray(ts[n - 1])))
+        assert drift_before > 0.3  # the bias produced real drift
+
+        # loop factor: true relative pose between last node and node 0
+        rel_t, rel_q = pose_relative(jnp.asarray(ts[n - 1]), jnp.asarray(qs[n - 1]),
+                                     jnp.asarray(ts[0]), jnp.asarray(qs[0]))
+        g = add_loop(g, n - 1, 0, rel_t, rel_q, fitness=jnp.asarray(0.05))
+        g2 = optimize_graph(g, n_iters=15)
+        # loop constraint satisfied: relative pose last→first ≈ measured
+        rt2, rq2 = pose_relative(g2.t[n - 1], g2.q[n - 1], g2.t[0], g2.q[0])
+        assert float(jnp.linalg.norm(rt2 - rel_t)) < 0.05
+        # and the total error vs ground truth shrinks substantially
+        err_after = np.linalg.norm(np.asarray(g2.t[:n]) - ts, axis=1)
+        err_before = np.linalg.norm(np.asarray(g.t[:n]) - ts, axis=1)
+        assert err_after.mean() < 0.5 * err_before.mean()
+
+
+class TestIcp:
+    def _cloud(self, key, n=512):
+        # box-ish structured cloud: three orthogonal planes + noise-free
+        k1, k2, k3 = jax.random.split(key, 3)
+        a = jax.random.uniform(k1, (n // 3, 2), minval=-5.0, maxval=5.0)
+        p1 = jnp.stack([a[:, 0], a[:, 1], jnp.zeros(n // 3)], axis=1)
+        p2 = jnp.stack([a[:, 0], -5.0 * jnp.ones(n // 3), a[:, 1] + 5.0], axis=1)
+        p3 = jnp.stack([5.0 * jnp.ones(n // 3), a[:, 0], a[:, 1] + 5.0], axis=1)
+        pts = jnp.concatenate([p1, p2, p3])
+        return pts
+
+    def test_recovers_known_transform(self):
+        pts = self._cloud(jax.random.PRNGKey(0)).astype(jnp.float64)
+        t_true = jnp.array([0.4, -0.3, 0.2])
+        q_true = quat_normalize(jnp.array([1.0, 0.02, -0.015, 0.03]))
+        src = quat_rotate(jnp.broadcast_to(quat_normalize(jnp.array([1.0, -0.02, 0.015, -0.03])), (pts.shape[0], 4)), pts)
+        from lili_om_tpu.utils.math import pose_inverse
+
+        ti, qi = pose_inverse(t_true, q_true)
+        src = quat_rotate(jnp.broadcast_to(qi, (pts.shape[0], 4)), pts) + ti
+        mask = jnp.ones(pts.shape[0], bool)
+        res = icp_point_to_plane(src, mask, pts, mask,
+                                 jnp.zeros(3), jnp.array([1.0, 0, 0, 0.0]), n_iters=15)
+        # cm-level: plane-boundary correspondences in a sparse random
+        # sampling bias the fit slightly; loop-closure noise is fitness-scaled
+        # so this is well inside the usable envelope (lc_icp_thres=0.1)
+        np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_true), atol=2e-2)
+        assert float(res.fitness) < 1e-3
+
+    def test_fitness_high_for_bad_alignment(self):
+        pts = self._cloud(jax.random.PRNGKey(1)).astype(jnp.float64)
+        other = pts + jnp.array([50.0, 0.0, 0.0])  # far off, beyond planes
+        mask = jnp.ones(pts.shape[0], bool)
+        res = icp_point_to_plane(pts, mask, other, mask,
+                                 jnp.zeros(3), jnp.array([1.0, 0, 0, 0.0]), n_iters=3)
+        assert float(res.fitness) > 0.1  # reference gate lc_icp_thres=0.1
