@@ -6,8 +6,12 @@ KIT-ISAS/lili-om (tightly-coupled keyframe-based LiDAR-inertial SLAM):
 * ``utils``    — quaternion/SE(3) math, config, timing.
 * ``ops``      — compute kernels: IMU preintegration, feature extraction
                  (Livox eigen-patch + spinning-LiDAR LOAM curvature), kNN map
-                 association, factor residuals/Jacobians, batched
-                 Gauss-Newton/LM, Schur-complement marginalization, ICP.
+                 association, voxel downsampling, Schur-complement
+                 marginalization, point-to-plane ICP.
+* ``factors``  — residuals + tangent-space Jacobians: lidar plane/edge,
+                 IMU preintegration, relative-pose, marginal & speed-bias
+                 priors.
+* ``solver``   — batched Gauss-Newton/LM normal-equation machinery.
 * ``models``   — pipeline stages: frontend scan-to-map odometry, backend
                  sliding-window fusion, global pose graph, loop closure, and
                  the full system orchestrator.

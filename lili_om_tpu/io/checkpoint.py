@@ -1,0 +1,80 @@
+"""Checkpoint / resume for the full SLAM state.
+
+The reference has **no** state checkpointing (SURVEY.md §5 — only a final
+hardcoded-path PCD dump, BackendFusion.cpp:2697-2722). Since every piece of
+our state is a fixed-shape array pytree, checkpointing is a flat
+``np.savez``: the odometry state, the fusion window + ring buffer + prior,
+the pose graph, and the host keyframe archive. Restore rebuilds the exact
+pytrees, so a resumed run continues bit-identically on the same inputs.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(prefix: str, tree: Any, out: dict):
+    leaves, treedef = jax.tree.flatten(tree)
+    out[f"{prefix}__treedef"] = np.frombuffer(str(treedef).encode(), dtype=np.uint8)
+    for i, leaf in enumerate(leaves):
+        out[f"{prefix}__{i}"] = np.asarray(leaf)
+
+
+def _unflatten(prefix: str, template: Any, data) -> Any:
+    leaves, treedef = jax.tree.flatten(template)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        arr = data[f"{prefix}__{i}"]
+        new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
+    return jax.tree.unflatten(treedef, new_leaves)
+
+
+def save_system(path: str, system) -> None:
+    """Write a LiliOmSystem checkpoint (single .npz + .json sidecar)."""
+    out: dict = {}
+    _flatten("odo", system.odo_state, out)
+    _flatten("fusion", system.fusion_state, out)
+    _flatten("graph", system.graph, out)
+    for i, c in enumerate(system.kf_clouds):
+        out[f"kf_cloud__{i}"] = c
+    out["kf_stamps"] = np.asarray(system.kf_stamps)
+    out["kf_positions"] = (np.stack(system.kf_positions)
+                           if system.kf_positions else np.zeros((0, 3)))
+    np.savez_compressed(path, **out)
+    meta = {
+        "n_frames": system.n_frames,
+        "n_keyframes": len(system.kf_stamps),
+        "last_loop_stamp": system.last_loop_stamp,
+        "trajectory": [list(map(float, t)) for t in system.trajectory],
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_system(path: str, system) -> None:
+    """Restore a checkpoint into an already-constructed (same-config)
+    LiliOmSystem in place."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    system.odo_state = _unflatten("odo", system.odo_state, data)
+    system.fusion_state = _unflatten("fusion", system.fusion_state, data)
+    system.graph = _unflatten("graph", system.graph, data)
+    system.kf_stamps = [float(s) for s in data["kf_stamps"]]
+    system.kf_positions = [p for p in data["kf_positions"]]
+    system.kf_clouds = []
+    i = 0
+    while f"kf_cloud__{i}" in data:
+        system.kf_clouds.append(data[f"kf_cloud__{i}"])
+        i += 1
+    meta_path = (path[:-4] if path.endswith(".npz") else path) + ".json"
+    if not os.path.exists(meta_path):
+        meta_path = path + ".json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    system.n_frames = meta["n_frames"]
+    system.last_loop_stamp = meta["last_loop_stamp"]
+    system.trajectory = [np.asarray(t) for t in meta["trajectory"]]

@@ -1,1 +1,1 @@
-from . import odometry  # noqa: F401
+from . import fusion, odometry, pose_graph, system  # noqa: F401

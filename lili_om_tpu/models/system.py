@@ -1,0 +1,233 @@
+"""Full-system orchestrator: the host-side stage pipeline replacing the
+reference's 4 ROS processes + topics (SURVEY.md §1 dataflow).
+
+Per 0.1 s scan: feature extraction → frontend odometry → (on keyframes)
+backend fusion → global pose graph node. At a lower cadence (the reference's
+1 Hz thread, BackendFusion.cpp:2410-2421): loop-closure detection → ICP →
+graph re-solve → pose correction + marginalization-prior reset.
+
+Host responsibilities are sequencing and the unbounded keyframe archive
+(numpy); every compute step is a jitted fixed-shape device program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.fusion import FusionConfig, FusionState, fusion_step, init_fusion_state
+from ..models.odometry import OdometryConfig, init_state as init_odo_state, odometry_step
+from ..models.pose_graph import PoseGraph, add_loop, add_node, init_graph, optimize_graph
+from ..ops.features_spin import SpinFeatureConfig, extract_features_spin, integrate_gyro, undistort
+from ..ops.icp import icp_point_to_plane
+from ..ops.preintegration import ImuNoise
+from ..ops.voxel import pad_cloud, voxel_downsample
+from ..utils.math import pose_relative, quat_mul, quat_normalize, quat_rotate, quat_conj
+
+
+@dataclasses.dataclass
+class LoopClosureConfig:
+    """Loop-closure knobs (config_fr_iosb.yaml:28-33 + hardcodes)."""
+
+    enabled: bool = True
+    search_radius: float = 10.0  # lc_search_radius
+    time_thres: float = 25.0  # global_lc_time_thres
+    map_width: int = 20  # lc_map_width (± keyframes in the history submap)
+    latest_width: int = 1  # 1 Livox (:2474); 6 ROT (:2267)
+    icp_thres: float = 0.1  # fitness gate
+    icp_iters: int = 20
+    submap_cap: int = 16384
+    submap_leaf: float = 0.4
+    debounce: float = 0.2  # ROT 0.2 s re-fire gate (:2403)
+
+
+class LiliOmSystem:
+    """End-to-end LiDAR-inertial SLAM engine (spinning-LiDAR variant wiring;
+    the Livox variant swaps the feature extractor)."""
+
+    def __init__(
+        self,
+        odo_cfg: OdometryConfig = OdometryConfig(),
+        fusion_cfg: FusionConfig = FusionConfig(),
+        feat_cfg: SpinFeatureConfig = SpinFeatureConfig(),
+        lc_cfg: LoopClosureConfig = LoopClosureConfig(),
+        noise: ImuNoise = ImuNoise(),
+        graph_capacity: int = 512,
+        q0=None,
+        dtype=jnp.float32,
+    ):
+        self.odo_cfg = odo_cfg
+        self.fusion_cfg = fusion_cfg
+        self.feat_cfg = feat_cfg
+        self.lc_cfg = lc_cfg
+        self.noise = noise
+        self.dtype = dtype
+        self.odo_state = init_odo_state(odo_cfg, dtype=dtype)
+        self.fusion_state = init_fusion_state(fusion_cfg, noise, q0=q0, dtype=dtype)
+        self.graph = init_graph(graph_capacity, dtype=dtype)
+        # host-side keyframe archive (unbounded, numpy)
+        self.kf_stamps: list[float] = []
+        self.kf_clouds: list[np.ndarray] = []  # downsampled surf clouds, sensor frame
+        self.kf_positions: list[np.ndarray] = []
+        self.n_frames = 0
+        self.trajectory: list[np.ndarray] = []  # per-frame positions (diagnostic)
+        self.last_loop_stamp = -1e9
+
+    # ------------------------------------------------------------------
+    # per-scan path
+    # ------------------------------------------------------------------
+
+    def process_scan(self, img, valid, rel_time, stamp: float,
+                     imu_dts=None, imu_accs=None, imu_gyrs=None):
+        """One organized spinning-LiDAR sweep (R,C[,3]) + the IMU samples
+        covering it. Returns the frontend output for this frame."""
+        if imu_gyrs is not None and imu_dts is not None:
+            q_scan = integrate_gyro(jnp.asarray(imu_dts, self.dtype),
+                                    jnp.asarray(imu_gyrs, self.dtype))
+            flat = img.reshape(-1, 3)
+            flat = undistort(flat, rel_time.reshape(-1), q_scan)
+            img = flat.reshape(img.shape)
+        fc = extract_features_spin(jnp.asarray(img, self.dtype), valid, rel_time, self.feat_cfg)
+        self.odo_state, out = odometry_step(
+            self.odo_state, fc.surf_pts, fc.surf_mask, self.odo_cfg)
+        self.n_frames += 1
+        self.trajectory.append(np.asarray(out.t))
+
+        if bool(out.is_keyframe):
+            self._on_keyframe(fc, stamp, imu_dts, imu_accs, imu_gyrs)
+        return out
+
+    def _on_keyframe(self, fc, stamp, imu_dts, imu_accs, imu_gyrs):
+        cfg = self.fusion_cfg
+        sp, sm = pad_cloud(fc.surf_pts, fc.surf_mask, cfg.kf_surf_cap)
+        ep, em = pad_cloud(fc.edge_pts, fc.edge_mask, cfg.kf_edge_cap)
+        cap = cfg.imu_cap
+        if imu_dts is None:
+            dts = jnp.zeros((cap,), self.dtype)
+            accs = jnp.zeros((cap, 3), self.dtype)
+            gyrs = jnp.zeros((cap, 3), self.dtype)
+            vmask = jnp.zeros((cap,), bool)
+        else:
+            n = min(len(imu_dts), cap)
+            dts = jnp.zeros((cap,), self.dtype).at[:n].set(jnp.asarray(imu_dts[:n], self.dtype))
+            accs = jnp.zeros((cap, 3), self.dtype).at[:n].set(jnp.asarray(imu_accs[:n], self.dtype))
+            gyrs = jnp.zeros((cap, 3), self.dtype).at[:n].set(jnp.asarray(imu_gyrs[:n], self.dtype))
+            vmask = jnp.zeros((cap,), bool).at[:n].set(True)
+
+        self.fusion_state, fout = fusion_step(
+            self.fusion_state, sp, sm, jnp.zeros_like(sp[:, 0]), ep, em,
+            dts, accs, gyrs, vmask, cfg, self.noise)
+
+        self.graph = add_node(self.graph, fout.t_latest, fout.q_latest)
+        self.kf_stamps.append(stamp)
+        self.kf_positions.append(np.asarray(fout.t_latest))
+        # archive the (already frontend-downsampled) surf cloud for submaps
+        self.kf_clouds.append(np.asarray(sp[np.asarray(sm)]))
+
+    # ------------------------------------------------------------------
+    # loop-closure path (call at ~1 Hz, detectLoopClosure :2423-2550)
+    # ------------------------------------------------------------------
+
+    def try_loop_closure(self) -> bool:
+        lc = self.lc_cfg
+        n = len(self.kf_stamps)
+        if not lc.enabled or n < 3:
+            return False
+        cur = n - 1
+        cur_stamp = self.kf_stamps[cur]
+        if cur_stamp - self.last_loop_stamp < lc.debounce:
+            return False
+        # graph poses are the authoritative (corrected) keyframe poses
+        g_t = np.asarray(self.graph.t[:n])
+        g_q = np.asarray(self.graph.q[:n])
+        d = np.linalg.norm(g_t - g_t[cur], axis=1)
+        stamps = np.asarray(self.kf_stamps)
+        cand = np.where((d < lc.search_radius) & (cur_stamp - stamps > lc.time_thres))[0]
+        if len(cand) == 0:
+            return False
+        his = int(cand[np.argmin(d[cand])])
+
+        src = self._submap(cur, lc.latest_width - 1, g_t, g_q)
+        tgt = self._submap(his, lc.map_width, g_t, g_q)
+        if src[0].shape[0] == 0 or tgt[0].shape[0] == 0:
+            return False
+        res = icp_point_to_plane(
+            src[0], src[1], tgt[0], tgt[1],
+            jnp.zeros(3, self.dtype), jnp.array([1.0, 0, 0, 0], self.dtype),
+            n_iters=lc.icp_iters)
+        if not np.isfinite(float(res.fitness)) or float(res.fitness) > lc.icp_thres:
+            return False
+
+        # corrected latest pose = ΔT_icp ∘ T_latest (:2588-2599)
+        t_lat = jnp.asarray(g_t[cur], self.dtype)
+        q_lat = jnp.asarray(g_q[cur], self.dtype)
+        t_corr = quat_rotate(res.q, t_lat) + res.t
+        q_corr = quat_normalize(quat_mul(res.q, q_lat))
+        # measured relative pose latest→his from the corrected latest pose
+        rel_t, rel_q = pose_relative(t_corr, q_corr,
+                                     jnp.asarray(g_t[his], self.dtype),
+                                     jnp.asarray(g_q[his], self.dtype))
+        self.graph = add_loop(self.graph, cur, his, rel_t, rel_q, res.fitness)
+        self.graph = optimize_graph(self.graph, n_iters=10)
+        self._correct_poses()
+        self.last_loop_stamp = cur_stamp
+        return True
+
+    def _submap(self, center: int, width: int, g_t, g_q):
+        """World-frame downsampled submap of keyframes [center−width,
+        center+width] (build…KeyFrames, :2474-2548)."""
+        lo = max(0, center - width)
+        hi = min(len(self.kf_clouds), center + width + 1)
+        pts = []
+        for i in range(lo, hi):
+            c = self.kf_clouds[i]
+            if len(c) == 0:
+                continue
+            R_q = jnp.asarray(g_q[i], self.dtype)
+            w = quat_rotate(jnp.broadcast_to(R_q, (c.shape[0], 4)),
+                            jnp.asarray(c, self.dtype)) + jnp.asarray(g_t[i], self.dtype)
+            pts.append(np.asarray(w))
+        if not pts:
+            return np.zeros((0, 3)), np.zeros((0,), bool)
+        allp = jnp.asarray(np.concatenate(pts), self.dtype)
+        mask = jnp.ones((allp.shape[0],), bool)
+        out, out_mask = voxel_downsample(allp, mask, self.lc_cfg.submap_leaf,
+                                         self.lc_cfg.submap_cap)
+        return out, out_mask
+
+    def _correct_poses(self):
+        """correctPoses (:2177-2311): rewrite keyframe poses from the graph,
+        update the fusion ring buffer + window, drop the marginalization
+        prior (marg=false → speed-bias re-priors next solve)."""
+        n = len(self.kf_stamps)
+        g_t = np.asarray(self.graph.t[:n])
+        g_q = np.asarray(self.graph.q[:n])
+        self.kf_positions = [g_t[i] for i in range(n)]
+
+        fs = self.fusion_state
+        cfg = self.fusion_cfg
+        M = cfg.local_map_width
+        W = cfg.window
+        # ring slots of the last min(n, M) keyframes
+        wi = int(fs.write_idx)
+        hist_t = np.asarray(fs.hist_t)
+        hist_q = np.asarray(fs.hist_q)
+        for j in range(min(n, M)):
+            kf_id = n - 1 - j
+            slot = (wi - 1 - j) % M
+            hist_t[slot] = g_t[kf_id]
+            hist_q[slot] = g_q[kf_id]
+        win_t = np.asarray(fs.t)
+        win_q = np.asarray(fs.q)
+        for j in range(min(n, W)):
+            win_t[W - 1 - j] = g_t[n - 1 - j]
+            win_q[W - 1 - j] = g_q[n - 1 - j]
+
+        self.fusion_state = fs._replace(
+            t=jnp.asarray(win_t, self.dtype), q=jnp.asarray(win_q, self.dtype),
+            hist_t=jnp.asarray(hist_t, self.dtype), hist_q=jnp.asarray(hist_q, self.dtype),
+            prior=fs.prior._replace(valid=jnp.zeros((), bool)),  # drop prior (:2635-2638)
+            sb_anchor_on=jnp.ones((), bool),  # marg=false (:2309)
+        )

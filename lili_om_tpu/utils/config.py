@@ -1,0 +1,137 @@
+"""Config system — the replacement for the reference's YAML → ROS parameter
+server → ``getParameter<T>`` chain (LiLi-OM/include/utils/common.h:78-102,
+one YAML per dataset under ``*/config/``).
+
+Each dataset preset bundles the four stage configs; unknown keys fall back
+to defaults with a warning, mirroring the reference's warn-and-default
+behavior.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import warnings
+from typing import Any, Optional
+
+from ..models.fusion import FusionConfig
+from ..models.odometry import OdometryConfig
+from ..models.system import LoopClosureConfig
+from ..ops.features_livox import LivoxFeatureConfig
+from ..ops.features_spin import SpinFeatureConfig
+from ..ops.preintegration import ImuNoise
+
+
+@dataclasses.dataclass
+class SystemConfig:
+    """Everything needed to instantiate a LiliOmSystem for one dataset."""
+
+    variant: str = "livox"  # "livox" | "rot"
+    odometry: OdometryConfig = OdometryConfig()
+    fusion: FusionConfig = FusionConfig()
+    spin_features: SpinFeatureConfig = SpinFeatureConfig()
+    livox_features: LivoxFeatureConfig = LivoxFeatureConfig()
+    loop_closure: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
+    imu_noise: ImuNoise = ImuNoise()
+    imu_rate: float = 200.0
+    scan_period: float = 0.1
+
+
+def _merge_namedtuple(base, overrides: dict, ctx: str):
+    bad = set(overrides) - set(base._fields)
+    if bad:
+        warnings.warn(f"{ctx}: unknown keys {sorted(bad)} ignored (defaulting, "
+                      "as the reference's getParameter does)")
+    return base._replace(**{k: v for k, v in overrides.items() if k in base._fields})
+
+
+def load_config(preset: str = "fr_iosb", overrides: Optional[dict] = None) -> SystemConfig:
+    cfg = PRESETS[preset]()
+    if overrides:
+        for section, vals in overrides.items():
+            cur = getattr(cfg, section)
+            if hasattr(cur, "_fields"):
+                setattr(cfg, section, _merge_namedtuple(cur, vals, section))
+            elif dataclasses.is_dataclass(cur):
+                for k, v in vals.items():
+                    if hasattr(cur, k):
+                        setattr(cur, k, v)
+                    else:
+                        warnings.warn(f"{section}: unknown key {k} ignored")
+            else:
+                setattr(cfg, section, vals)
+    return cfg
+
+
+def config_fr_iosb() -> SystemConfig:
+    """Livox FR_IOSB (LiLi-OM/config/config_fr_iosb.yaml)."""
+    return SystemConfig(
+        variant="livox",
+        odometry=OdometryConfig(scan_match_cnt=1),  # yaml:10
+        fusion=FusionConfig(
+            window=3, local_map_width=40, lidar_const=20.0, reflect_thres=15.0,
+            surf_dist_thres=0.12, kd_max_radius=1.0, surf_leaf=0.4, edge_leaf=0.2,
+            use_reflectivity=True, weight_gate=0.2,
+            q_lb=(0.0, 0.0, 0.0, 1.0), t_lb=(-0.0265, 0.0202, 0.05309),  # yaml:34-41
+        ),
+        livox_features=LivoxFeatureConfig(surf_thres=0.28, edge_thres=4.0),  # yaml:5-6
+        loop_closure=LoopClosureConfig(
+            enabled=True, time_thres=25.0, search_radius=10.0,
+            map_width=20, latest_width=1, icp_thres=0.1),  # yaml:28-33
+        imu_noise=ImuNoise(),  # hardcoded Livox densities (Preintegration.h:40-46)
+    )
+
+
+def config_fr_iosb_rot() -> SystemConfig:
+    """Spinning 64-line FR_IOSB (LiLi-OM-ROT/config/config_fr_iosb.yaml)."""
+    return SystemConfig(
+        variant="rot",
+        odometry=OdometryConfig(scan_match_cnt=1),
+        fusion=FusionConfig(
+            window=3, local_map_width=50, lidar_const=7.5,
+            surf_dist_thres=0.12, kd_max_radius=1.0,
+            surf_leaf=0.4, edge_leaf=0.2,  # ROT hardcodes (:491-496)
+            use_reflectivity=False, weight_gate=0.3,
+            q_lb=(0.7071, 0.0, 0.0, 0.7071), t_lb=(-0.18, 0.0, -0.095),
+        ),
+        spin_features=SpinFeatureConfig(ds_rate=4),  # yaml:13
+        loop_closure=LoopClosureConfig(
+            enabled=True, time_thres=60.0, search_radius=15.0,
+            map_width=25, latest_width=6, icp_thres=0.2, debounce=0.2),
+        imu_noise=ImuNoise(acc_n=2000.0, gyr_n=0.0173, acc_w=2.0,
+                           gyr_w=0.00025, init_cov=1e-3),  # yaml:5-9
+    )
+
+
+def config_synthetic() -> SystemConfig:
+    """Simulation-friendly preset (smaller capacities, ROT wiring)."""
+    return SystemConfig(
+        variant="rot",
+        odometry=OdometryConfig(n_recent_frames=10, scan_cap=4096,
+                                query_cap=1024, map_cap=16384),
+        fusion=FusionConfig(
+            window=3, local_map_width=10, kf_surf_cap=4096, kf_edge_cap=1024,
+            map_surf_cap=16384, map_edge_cap=2048, use_reflectivity=False,
+            weight_gate=0.3, lidar_const=7.5, max_num_iter=6),
+        spin_features=SpinFeatureConfig(surf_cap=4096),
+        loop_closure=LoopClosureConfig(enabled=True, time_thres=10.0),
+    )
+
+
+PRESETS = {
+    "fr_iosb": config_fr_iosb,
+    "fr_iosb_rot": config_fr_iosb_rot,
+    "synthetic": config_synthetic,
+}
+
+
+def dump_config(cfg: SystemConfig) -> str:
+    """JSON dump (diagnostics / reproducibility)."""
+
+    def enc(o: Any):
+        if hasattr(o, "_asdict"):
+            return o._asdict()
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        return str(o)
+
+    return json.dumps(dataclasses.asdict(cfg), default=enc, indent=2)

@@ -1,0 +1,129 @@
+"""Full-system orchestrator wiring + loop-closure machinery."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lili_om_tpu.models.fusion import FusionConfig
+from lili_om_tpu.models.odometry import OdometryConfig
+from lili_om_tpu.models.system import LiliOmSystem, LoopClosureConfig
+from lili_om_tpu.ops.features_spin import SpinFeatureConfig
+from lili_om_tpu.sim.lidar import simulate_scan, spinning_pattern
+from lili_om_tpu.sim.trajectory import circle_trajectory, pose_at, simulate_imu
+from lili_om_tpu.sim.world import make_room_world
+from lili_om_tpu.utils.math import exp_so3
+
+R, C = 16, 540
+PERIOD = 0.1
+
+
+def make_system(**lc_kwargs):
+    return LiliOmSystem(
+        odo_cfg=OdometryConfig(n_recent_frames=6, scan_cap=2048, query_cap=512, map_cap=8192),
+        fusion_cfg=FusionConfig(window=3, local_map_width=6, kf_surf_cap=2048,
+                                kf_edge_cap=1024, map_surf_cap=8192, map_edge_cap=1024,
+                                use_reflectivity=False, weight_gate=0.3,
+                                lidar_const=7.5, max_num_iter=3, imu_cap=64),
+        feat_cfg=SpinFeatureConfig(surf_cap=2048),
+        lc_cfg=LoopClosureConfig(**lc_kwargs),
+        graph_capacity=64,
+        dtype=jnp.float64,
+    )
+
+
+@pytest.fixture(scope="module")
+def short_run():
+    world = make_room_world()
+    traj = circle_trajectory(radius=8.0, period=40.0)
+    pattern = spinning_pattern(n_rings=R, n_cols=C)
+    t0w, q0w = pose_at(traj, 0.0)
+    sys_ = make_system()
+    sys_.fusion_state = sys_.fusion_state._replace(
+        q=jnp.tile(jnp.asarray(q0w, jnp.float64), (3, 1)))
+    gts = []
+    for k in range(9):
+        ts = k * PERIOD
+        scan = simulate_scan(world, traj, ts, pattern, period=PERIOD)
+        imu = simulate_imu(traj, max(ts - PERIOD, 0.0), ts, rate=200.0)
+        sys_.process_scan(
+            scan.pts.reshape(R, C, 3), scan.valid.reshape(R, C),
+            scan.rel_time.reshape(R, C), ts,
+            imu_dts=np.diff(np.asarray(imu.stamps)),
+            imu_accs=np.asarray(imu.accs[1:]), imu_gyrs=np.asarray(imu.gyrs[1:]))
+        from lili_om_tpu.utils.math import pose_relative
+
+        tg, qg = pose_at(traj, ts)
+        # odometry's world frame is the first body pose
+        rt, _ = pose_relative(t0w, q0w, tg, qg)
+        gts.append(np.asarray(rt))
+    return sys_, gts
+
+
+class TestSystemWiring:
+    def test_frames_and_keyframes_flow(self, short_run):
+        sys_, _ = short_run
+        assert sys_.n_frames == 9
+        assert 3 <= len(sys_.kf_stamps) <= 9
+        assert int(sys_.graph.n_nodes) == len(sys_.kf_stamps)
+
+    def test_trajectory_tracks_ground_truth(self, short_run):
+        sys_, gts = short_run
+        err = [np.linalg.norm(t - g) for t, g in zip(sys_.trajectory, gts)]
+        assert np.sqrt(np.mean(np.square(err))) < 0.1, err
+
+    def test_archive_consistency(self, short_run):
+        sys_, _ = short_run
+        assert len(sys_.kf_clouds) == len(sys_.kf_stamps) == len(sys_.kf_positions)
+        assert all(c.ndim == 2 and c.shape[1] == 3 for c in sys_.kf_clouds)
+
+    def test_no_loop_closure_on_short_run(self, short_run):
+        sys_, _ = short_run
+        assert not sys_.try_loop_closure()  # time gate (25 s) can't pass
+        assert int(sys_.graph.n_loops) == 0
+
+
+class TestLoopClosure:
+    def test_detect_align_correct(self):
+        """Handcrafted revisit: keyframe clouds from a real room scan; the
+        last keyframe revisits the first with a small pose drift. The loop
+        must be detected, ICP-aligned, and the graph corrected."""
+        world = make_room_world()
+        pattern = spinning_pattern(n_rings=R, n_cols=C)
+        from lili_om_tpu.sim.trajectory import static_trajectory
+
+        scan = simulate_scan(world, static_trajectory((0.0, 0.0, 1.0)), 0.0,
+                             pattern, period=PERIOD)
+        pts = np.asarray(scan.pts[np.asarray(scan.valid)])
+        # subsample to keep ICP small
+        pts = pts[:: max(1, len(pts) // 4000)]
+
+        sys_ = make_system(time_thres=5.0, search_radius=5.0, icp_thres=0.2,
+                           map_width=2, latest_width=1)
+        from lili_om_tpu.models.pose_graph import add_node
+
+        qid = jnp.array([1.0, 0, 0, 0.0])
+        # kf0 at origin with the real cloud
+        drift = np.array([0.35, -0.2, 0.1])
+        poses = [
+            (np.zeros(3), qid),  # kf 0
+            (np.array([20.0, 0, 0]), qid),  # far away
+            (np.array([20.0, 20.0, 0]), qid),
+            (np.array([0.0, 20.0, 0]), qid),
+            (drift, qid),  # revisit of kf0, drifted
+        ]
+        stamps = [0.0, 3.0, 6.0, 9.0, 12.0]
+        for (t, q), s in zip(poses, stamps):
+            sys_.graph = add_node(sys_.graph, jnp.asarray(t, jnp.float64), q)
+            sys_.kf_stamps.append(s)
+            sys_.kf_positions.append(np.asarray(t, np.float64))
+            sys_.kf_clouds.append(pts.astype(np.float64))
+
+        fired = sys_.try_loop_closure()
+        assert fired
+        assert int(sys_.graph.n_loops) == 1
+        # the drifted node must have moved back toward the true revisit pose
+        # (cloud identical ⇒ true pose of kf4 = kf0 = origin)
+        t4 = np.asarray(sys_.graph.t[4])
+        assert np.linalg.norm(t4) < 0.6 * np.linalg.norm(drift), t4
+        # marginalization prior dropped (marg=false semantics)
+        assert not bool(sys_.fusion_state.prior.valid)
+        assert bool(sys_.fusion_state.sb_anchor_on)
