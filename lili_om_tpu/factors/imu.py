@@ -40,11 +40,18 @@ def retract_state(t, q, v, ba, bg, delta):
 
 def imu_factor(p: Preint, noise: ImuNoise,
                ti, qi, vi, bai, bgi,
-               tj, qj, vj, baj, bgj):
+               tj, qj, vj, baj, bgj,
+               W=None):
     """Whitened residual (15,) + Jacobians (15,15)×2 w.r.t. the tangents of
     keyframes i and j. Matches ImuFactor::Evaluate (ImuFactor.h:30-141) up to
-    an orthogonal whitening factor (objective-identical)."""
-    W = sqrt_info(p)
+    an orthogonal whitening factor (objective-identical).
+
+    ``W``: optionally precomputed :func:`sqrt_info` — it depends only on the
+    preintegrated covariance, so callers iterating GN should hoist it out of
+    the loop (a 15×15 Cholesky + triangular solve per call otherwise).
+    """
+    if W is None:
+        W = sqrt_info(p)
 
     def res(di, dj):
         si = retract_state(ti, qi, vi, bai, bgi, di)

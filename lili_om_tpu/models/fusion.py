@@ -44,9 +44,17 @@ from ..factors.lidar import (
     plane_residual,
 )
 from ..factors.prior import MarginalPrior, marginal_prior_residual, speed_bias_prior
+from ..ops.fitting import eig3_symmetric, solve3
 from ..ops.knn import knn
 from ..ops.marginalization import schur_marginalize
-from ..ops.preintegration import ImuNoise, Preint, init_preint, integrate, propagate_world
+from ..ops.preintegration import (
+    ImuNoise,
+    Preint,
+    init_preint,
+    integrate,
+    propagate_world,
+    sqrt_info,
+)
 from ..ops.voxel import voxel_downsample
 from ..solver.gn import solve_normal
 from ..utils.math import quat_conj, quat_mul, quat_normalize, quat_rotate, unify_quaternion
@@ -194,7 +202,7 @@ def _surf_correspondences(pts_b, pts_mask, refl, t_w, q_w, map_pts, map_mask, ma
     w2 = vec_w * vec_w
     AtA = jnp.einsum("qk,qki,qkj->qij", w2, nbrs, nbrs)
     Atb = -jnp.einsum("qk,qki->qi", w2, nbrs)
-    n_raw = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(3, dtype=nbrs.dtype), Atb[..., None])[..., 0]
+    n_raw = solve3(AtA, Atb, damping=1e-9)
     norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
     normal = n_raw / norm
     d_off = 1.0 / norm[..., 0]
@@ -227,7 +235,7 @@ def _edge_correspondences(pts_b, pts_mask, t_w, q_w, map_pts, map_mask, cfg: Fus
     center = jnp.mean(nbrs, axis=-2)
     ctr = nbrs - center[:, None, :]
     cov = jnp.einsum("qki,qkj->qij", ctr, ctr)
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    evals, evecs = eig3_symmetric(cov)  # ascending, closed form
     direction = evecs[..., :, 2]
     line_ok = evals[..., 2] > 3.0 * evals[..., 1]
 
@@ -246,7 +254,7 @@ def _edge_correspondences(pts_b, pts_mask, t_w, q_w, map_pts, map_mask, cfg: Fus
 # ---------------------------------------------------------------------------
 
 
-def _assemble(ts, qs, vs, bas, bgs, preints, prior, sb_on, sb_anchor,
+def _assemble(ts, qs, vs, bas, bgs, preints, preint_Ws, prior, sb_on, sb_anchor,
               surf_batches, edge_batches, noise, cfg: FusionConfig):
     """Build (H, g) of the full-window GN system (D = 15·W) at the given
     states. g uses the +ΣJᵀr sign convention (as the reference's
@@ -279,6 +287,7 @@ def _assemble(ts, qs, vs, bas, bgs, preints, prior, sb_on, sb_anchor,
             pre_i, noise,
             ts[i], qs[i], vs[i], bas[i], bgs[i],
             ts[i + 1], qs[i + 1], vs[i + 1], bas[i + 1], bgs[i + 1],
+            W=preint_Ws[i],
         )
         oi, oj = 15 * i, 15 * (i + 1)
         H = H.at[oi:oi + 15, oi:oi + 15].add(Ji.T @ Ji)
@@ -432,10 +441,13 @@ def fusion_step(
     # --- F: Gauss-Newton over the window tangent ---
     run_opt = state.kf_count + 1 >= W  # window full (:833)
     sb_anchor = (vs[:-1], bas[:-1], bgs[:-1])  # pre-solve anchors (:896-903)
+    # whitening matrices depend only on the preintegrated covariances —
+    # computed once, reused across all GN iterations and marginalization
+    preint_Ws = jax.vmap(sqrt_info)(preints)
 
     def gn_iter(_, carry):
         ts, qs, vs, bas, bgs = carry
-        H, g = _assemble(ts, qs, vs, bas, bgs, preints, state.prior,
+        H, g = _assemble(ts, qs, vs, bas, bgs, preints, preint_Ws, state.prior,
                          state.sb_anchor_on, sb_anchor,
                          surf_batches, edge_batches, noise, cfg)
         delta = solve_normal(H, -g, cfg.damping)
@@ -466,7 +478,7 @@ def fusion_step(
 
     # --- H: marginalize the exiting keyframe into the new prior ---
     def do_marg(_):
-        H, g = _assemble(ts1, qs1, vs1, bas1, bgs1, preints, state.prior,
+        H, g = _assemble(ts1, qs1, vs1, bas1, bgs1, preints, preint_Ws, state.prior,
                          state.sb_anchor_on, sb_anchor,
                          surf_batches, edge_batches, noise, cfg)
         J, r0 = schur_marginalize(H, g, 15)

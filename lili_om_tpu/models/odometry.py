@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..factors.lidar import PlaneFactorBatch, huber_weight, plane_residual
+from ..ops.fitting import solve3
 from ..ops.knn import knn
 from ..ops.voxel import voxel_downsample
 from ..solver.gn import gn_update
@@ -113,7 +114,7 @@ def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryC
     # yields +inf dists which fail nn_ok anyway)
     AtA = jnp.einsum("qki,qkj->qij", nbrs, nbrs)
     Atb = -jnp.sum(nbrs, axis=-2)
-    n_raw = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(3, dtype=nbrs.dtype), Atb[..., None])[..., 0]
+    n_raw = solve3(AtA, Atb, damping=1e-9)
     norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
     normal = n_raw / norm
     d_off = 1.0 / norm[..., 0]

@@ -20,11 +20,17 @@ import numpy as np
 from ..models.fusion import FusionConfig, FusionState, fusion_step, init_fusion_state
 from ..models.odometry import OdometryConfig, init_state as init_odo_state, odometry_step
 from ..models.pose_graph import PoseGraph, add_loop, add_node, init_graph, optimize_graph
+from ..ops.features_livox import (
+    LivoxFeatureConfig,
+    bin_livox_image,
+    extract_features_livox,
+)
 from ..ops.features_spin import SpinFeatureConfig, extract_features_spin, integrate_gyro, undistort
 from ..ops.icp import icp_point_to_plane
 from ..ops.preintegration import ImuNoise
 from ..ops.voxel import pad_cloud, voxel_downsample
 from ..utils.math import pose_relative, quat_mul, quat_normalize, quat_rotate, quat_conj
+from ..utils.metrics import StageMetrics
 
 
 @dataclasses.dataclass
@@ -52,6 +58,7 @@ class LiliOmSystem:
         odo_cfg: OdometryConfig = OdometryConfig(),
         fusion_cfg: FusionConfig = FusionConfig(),
         feat_cfg: SpinFeatureConfig = SpinFeatureConfig(),
+        livox_cfg: LivoxFeatureConfig = LivoxFeatureConfig(),
         lc_cfg: LoopClosureConfig = LoopClosureConfig(),
         noise: ImuNoise = ImuNoise(),
         graph_capacity: int = 512,
@@ -61,6 +68,7 @@ class LiliOmSystem:
         self.odo_cfg = odo_cfg
         self.fusion_cfg = fusion_cfg
         self.feat_cfg = feat_cfg
+        self.livox_cfg = livox_cfg
         self.lc_cfg = lc_cfg
         self.noise = noise
         self.dtype = dtype
@@ -74,42 +82,140 @@ class LiliOmSystem:
         self.n_frames = 0
         self.trajectory: list[np.ndarray] = []  # per-frame positions (diagnostic)
         self.last_loop_stamp = -1e9
+        # IMU buffer (the reference's imu_buf, BackendFusion.cpp:628-631):
+        # callers push samples as they arrive; undistortion slices the scan
+        # period, fusion slices the inter-keyframe interval
+        self._imu_stamps = np.zeros((0,))
+        self._imu_accs = np.zeros((0, 3))
+        self._imu_gyrs = np.zeros((0, 3))
+        self._last_kf_stamp: float | None = None
+        self.scan_period = 0.1
+        self.metrics = StageMetrics()
+
+    # ------------------------------------------------------------------
+    # IMU stream
+    # ------------------------------------------------------------------
+
+    def push_imu(self, stamps, accs, gyrs):
+        """Append IMU samples (monotone stamps). Push ahead of the scans they
+        cover — the reference's 2-scan delay queue exists for the same reason
+        (LiLi-OM/src/Preprocessing.cpp:196-207)."""
+        self._imu_stamps = np.concatenate([self._imu_stamps, np.atleast_1d(stamps)])
+        self._imu_accs = np.concatenate([self._imu_accs, np.atleast_2d(accs)])
+        self._imu_gyrs = np.concatenate([self._imu_gyrs, np.atleast_2d(gyrs)])
+        # bound the buffer (reference caps imu_buf at 600)
+        if len(self._imu_stamps) > 4096:
+            self._imu_stamps = self._imu_stamps[-4096:]
+            self._imu_accs = self._imu_accs[-4096:]
+            self._imu_gyrs = self._imu_gyrs[-4096:]
+
+    def _imu_slice(self, t0: float, t1: float):
+        """Samples with t0 < stamp ≤ t1, plus dts (first dt from t0)."""
+        s = self._imu_stamps
+        sel = (s > t0) & (s <= t1)
+        idx = np.where(sel)[0]
+        if len(idx) == 0:
+            return None
+        stamps = s[idx]
+        prev = np.concatenate([[t0], stamps[:-1]])
+        dts = stamps - prev
+        return dts, self._imu_accs[idx], self._imu_gyrs[idx]
 
     # ------------------------------------------------------------------
     # per-scan path
     # ------------------------------------------------------------------
 
-    def process_scan(self, img, valid, rel_time, stamp: float,
-                     imu_dts=None, imu_accs=None, imu_gyrs=None):
-        """One organized spinning-LiDAR sweep (R,C[,3]) + the IMU samples
-        covering it. Returns the frontend output for this frame."""
-        if imu_gyrs is not None and imu_dts is not None:
-            q_scan = integrate_gyro(jnp.asarray(imu_dts, self.dtype),
-                                    jnp.asarray(imu_gyrs, self.dtype))
-            flat = img.reshape(-1, 3)
-            flat = undistort(flat, rel_time.reshape(-1), q_scan)
+    def _undistort_with_buffer(self, flat_pts, rel_flat, stamp):
+        """Gyro-only undistortion over [stamp, stamp+period] from the IMU
+        buffer (Preprocessing::processIMU, :129-171)."""
+        sl = self._imu_slice(stamp, stamp + self.scan_period)
+        if sl is None:
+            return flat_pts
+        dts, _, gyrs = sl
+        q_scan = integrate_gyro(jnp.asarray(dts, self.dtype),
+                                jnp.asarray(gyrs, self.dtype))
+        return undistort(flat_pts, rel_flat, q_scan)
+
+    def process_scan(self, img, valid, rel_time, stamp: float):
+        """One organized spinning-LiDAR sweep (R,C,3). IMU samples covering
+        the sweep (and since the last keyframe) must already be pushed via
+        :meth:`push_imu`. Returns the frontend output for this frame."""
+        self.metrics.count_scan()
+        img = jnp.asarray(img, self.dtype)
+        rel_time = jnp.asarray(rel_time, self.dtype)
+        with self.metrics.stage("preprocess"):
+            flat = self._undistort_with_buffer(img.reshape(-1, 3), rel_time.reshape(-1), stamp)
             img = flat.reshape(img.shape)
-        fc = extract_features_spin(jnp.asarray(img, self.dtype), valid, rel_time, self.feat_cfg)
-        self.odo_state, out = odometry_step(
-            self.odo_state, fc.surf_pts, fc.surf_mask, self.odo_cfg)
+            fc = extract_features_spin(img, valid, rel_time, self.feat_cfg)
+        with self.metrics.stage("odometry"):
+            self.odo_state, out = odometry_step(
+                self.odo_state, fc.surf_pts, fc.surf_mask, self.odo_cfg)
         self.n_frames += 1
         self.trajectory.append(np.asarray(out.t))
 
         if bool(out.is_keyframe):
-            self._on_keyframe(fc, stamp, imu_dts, imu_accs, imu_gyrs)
+            with self.metrics.stage("backend"):
+                self._on_keyframe(fc, stamp)
         return out
 
-    def _on_keyframe(self, fc, stamp, imu_dts, imu_accs, imu_gyrs):
+    def process_scan_livox(self, pts, line, ratio, refl, valid, stamp: float):
+        """One Livox sweep as flat point arrays (N,·): xyz, line id 0..5,
+        time ratio, reflectivity. Mirrors the FormatConvert → Preprocessing
+        Livox path (curvature = 0.1·reflectivity, FormatConvert.cpp:19-21)."""
+        pts = jnp.asarray(pts, self.dtype)
+        ratio = jnp.asarray(ratio, self.dtype)
+        pts = self._undistort_with_buffer(pts, ratio, stamp)
+        curv = 0.1 * jnp.asarray(refl, self.dtype)
+        img, img_curv, img_valid = bin_livox_image(
+            pts, jnp.asarray(line, jnp.int32), ratio,
+            curv, jnp.asarray(valid), self.livox_cfg)
+        lf = extract_features_livox(img, img_curv, img_valid, self.livox_cfg)
+        # bound the surf set to the odometry capacity by voxel downsampling
+        surf, surf_refl, surf_mask = voxel_downsample(
+            lf.surf_pts, lf.surf_mask, 0.3, self.odo_cfg.scan_cap,
+            feats=lf.surf_curv[:, None])
+        self.odo_state, out = odometry_step(self.odo_state, surf, surf_mask, self.odo_cfg)
+        self.n_frames += 1
+        self.trajectory.append(np.asarray(out.t))
+
+        if bool(out.is_keyframe):
+            edge, edge_mask = pad_cloud(lf.edge_pts, lf.edge_mask, self.fusion_cfg.kf_edge_cap)
+            self._on_keyframe_clouds(surf, surf_mask, surf_refl[:, 0], edge, edge_mask, stamp)
+        return out
+
+    def _on_keyframe(self, fc, stamp):
         cfg = self.fusion_cfg
         sp, sm = pad_cloud(fc.surf_pts, fc.surf_mask, cfg.kf_surf_cap)
         ep, em = pad_cloud(fc.edge_pts, fc.edge_mask, cfg.kf_edge_cap)
+        self._on_keyframe_clouds(sp, sm, jnp.zeros_like(sp[:, 0]), ep, em, stamp)
+
+    def _on_keyframe_clouds(self, sp, sm, s_refl, ep, em, stamp):
+        cfg = self.fusion_cfg
+        sp, sm = pad_cloud(sp, sm, cfg.kf_surf_cap)
+        if s_refl.shape[0] != sp.shape[0]:
+            s_refl = jnp.zeros_like(sp[:, 0])
+        ep, em = pad_cloud(ep, em, cfg.kf_edge_cap)
         cap = cfg.imu_cap
-        if imu_dts is None:
+        # IMU interval since the last keyframe (saveKeyFramesAndFactors
+        # consumes imu_buf up to the keyframe stamp, :1700-1771)
+        if self._last_kf_stamp is None:
+            # first keyframe: seed the midpoint chain with the sample at the
+            # keyframe stamp (dt=0 no-op step that just sets acc0/gyr0)
+            sl = None
+            near = np.searchsorted(self._imu_stamps, stamp)
+            if len(self._imu_stamps) > 0:
+                j = min(max(near - 1, 0), len(self._imu_stamps) - 1)
+                sl = (np.zeros(1), self._imu_accs[j:j + 1], self._imu_gyrs[j:j + 1])
+        else:
+            sl = self._imu_slice(self._last_kf_stamp, stamp)
+        self._last_kf_stamp = stamp
+        if sl is None:
             dts = jnp.zeros((cap,), self.dtype)
             accs = jnp.zeros((cap, 3), self.dtype)
             gyrs = jnp.zeros((cap, 3), self.dtype)
             vmask = jnp.zeros((cap,), bool)
         else:
+            imu_dts, imu_accs, imu_gyrs = sl
             n = min(len(imu_dts), cap)
             dts = jnp.zeros((cap,), self.dtype).at[:n].set(jnp.asarray(imu_dts[:n], self.dtype))
             accs = jnp.zeros((cap, 3), self.dtype).at[:n].set(jnp.asarray(imu_accs[:n], self.dtype))
@@ -117,7 +223,7 @@ class LiliOmSystem:
             vmask = jnp.zeros((cap,), bool).at[:n].set(True)
 
         self.fusion_state, fout = fusion_step(
-            self.fusion_state, sp, sm, jnp.zeros_like(sp[:, 0]), ep, em,
+            self.fusion_state, sp, sm, s_refl, ep, em,
             dts, accs, gyrs, vmask, cfg, self.noise)
 
         self.graph = add_node(self.graph, fout.t_latest, fout.q_latest)
@@ -212,15 +318,15 @@ class LiliOmSystem:
         W = cfg.window
         # ring slots of the last min(n, M) keyframes
         wi = int(fs.write_idx)
-        hist_t = np.asarray(fs.hist_t)
-        hist_q = np.asarray(fs.hist_q)
+        hist_t = np.array(fs.hist_t)  # writable copies
+        hist_q = np.array(fs.hist_q)
         for j in range(min(n, M)):
             kf_id = n - 1 - j
             slot = (wi - 1 - j) % M
             hist_t[slot] = g_t[kf_id]
             hist_q[slot] = g_q[kf_id]
-        win_t = np.asarray(fs.t)
-        win_q = np.asarray(fs.q)
+        win_t = np.array(fs.t)
+        win_q = np.array(fs.q)
         for j in range(min(n, W)):
             win_t[W - 1 - j] = g_t[n - 1 - j]
             win_q[W - 1 - j] = g_q[n - 1 - j]

@@ -27,6 +27,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .fitting import eig3_symmetric
+
 
 class LivoxFeatureConfig(NamedTuple):
     n_lines: int = 6  # N_SCANS
@@ -120,7 +122,7 @@ def extract_features_livox(img: jnp.ndarray, img_curv: jnp.ndarray, img_valid: j
     ctr = jnp.sum(ppts * w[..., None], axis=(0, 2)) / jnp.maximum(num, 1.0)[:, None]
     d0 = (ppts - ctr[None, :, None, :]) * w[..., None]
     cov = jnp.einsum("lpsi,lpsj->pij", d0, d0)  # unnormalized, like the reference
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    evals, evecs = eig3_symmetric(cov)  # ascending, closed form
     patch_has_pts = num >= 25  # (:286)
 
     # --- edge candidates: per line, max g1 > thres (:302-331) ---
@@ -136,7 +138,7 @@ def extract_features_livox(img: jnp.ndarray, img_curv: jnp.ndarray, img_valid: j
     ectr = jnp.sum(cand_pts * wl[..., None], axis=0) / jnp.maximum(n_lines_hit, 1.0)[:, None]
     ed = (cand_pts - ectr[None]) * wl[..., None]
     ecov = jnp.einsum("lpi,lpj->pij", ed, ed)
-    eevals, eevecs = jnp.linalg.eigh(ecov)
+    eevals, eevecs = eig3_symmetric(ecov)
     edge_patch_ok = (eevals[:, 2] > cfg.edge_thres * eevals[:, 1]) & (n_lines_hit > 3)  # (:353)
     edge_dir = eevecs[:, :, 2]  # (P,3)
 

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..factors.lidar import PlaneFactorBatch, plane_residual
+from ..ops.fitting import eig3_symmetric
 from ..ops.knn import knn
 from ..solver.gn import gn_update
 from ..utils.math import exp_so3, quat_mul, quat_normalize, quat_rotate
@@ -58,7 +59,7 @@ def icp_point_to_plane(
         ctr = jnp.mean(nbrs, axis=-2)
         dd = nbrs - ctr[:, None, :]
         cov = jnp.einsum("qki,qkj->qij", dd, dd)
-        _, evecs = jnp.linalg.eigh(cov)
+        _, evecs = eig3_symmetric(cov)
         normal = evecs[..., :, 0]
         d_off = -jnp.sum(normal * ctr, axis=-1)
         pd_nbr = jnp.abs(jnp.einsum("qki,qi->qk", nbrs, normal) + d_off[:, None])

@@ -31,7 +31,28 @@ def _pad_to(x: jnp.ndarray, n: int, axis: int = 0, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@partial(jax.jit, static_argnames=("k", "tile_p"))
+def _merge_topk_sort(cat_d, cat_i, k):
+    """Merge via lax.top_k (sort-based lowering on TPU)."""
+    neg_top, arg = jax.lax.top_k(-cat_d, k)
+    return -neg_top, jnp.take_along_axis(cat_i, arg, axis=1)
+
+
+def _merge_topk_extract(cat_d, cat_i, k):
+    """Merge via k iterative min-extractions — k·(reduce + compare-select)
+    VPU passes instead of a sort. Uses a broadcast compare against the
+    argmin column (scatter-free; scatters are slow on TPU)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
+    ds = []
+    is_ = []
+    for _ in range(k):
+        j = jnp.argmin(cat_d, axis=1)
+        ds.append(jnp.min(cat_d, axis=1))
+        is_.append(jnp.take_along_axis(cat_i, j[:, None], axis=1)[:, 0])
+        cat_d = jnp.where(cols == j[:, None], INF, cat_d)
+    return jnp.stack(ds, axis=1), jnp.stack(is_, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "tile_p", "merge"))
 def knn(
     queries: jnp.ndarray,
     points: jnp.ndarray,
@@ -39,6 +60,7 @@ def knn(
     q_mask: Optional[jnp.ndarray] = None,
     p_mask: Optional[jnp.ndarray] = None,
     tile_p: int = 8192,
+    merge: str = "extract",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN of each query among the (masked) points.
 
@@ -79,14 +101,14 @@ def knn(
         cat_d = jnp.concatenate([best_d, d], axis=1)
         idx_tile = tile_idx0 + jax.lax.broadcasted_iota(jnp.int32, (Q, tile_pts.shape[0]), 1)
         cat_i = jnp.concatenate([best_i, idx_tile], axis=1)
-        neg_top, arg = jax.lax.top_k(-cat_d, k)
-        new_d = -neg_top
-        new_i = jnp.take_along_axis(cat_i, arg, axis=1)
+        merge_fn = _merge_topk_extract if merge == "extract" else _merge_topk_sort
+        new_d, new_i = merge_fn(cat_d, cat_i, k)
         return (new_d, new_i), None
 
-    # derive the carry init from `queries` so it inherits any varying manual
-    # axes under shard_map (constants would fail the vma check in the scan)
-    vary0 = queries[:, :1] * 0.0
+    # derive the carry init from `queries` AND `points` so it inherits any
+    # varying manual axes under shard_map from either input (constants would
+    # fail the vma check in the scan)
+    vary0 = queries[:, :1] * 0.0 + pts[:1, :1] * 0.0
     init = (
         jnp.broadcast_to(vary0, (Q, k)) + INF,
         jnp.broadcast_to(vary0.astype(jnp.int32), (Q, k)),

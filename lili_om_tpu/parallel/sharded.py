@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..factors.lidar import PlaneFactorBatch, huber_weight, plane_residual
+from ..ops.fitting import solve3
 from ..ops.knn import knn
 from ..solver.gn import solve_normal
 from ..utils.math import exp_so3, quat_mul, quat_normalize, quat_rotate
@@ -53,7 +54,7 @@ def _local_match_and_reduce(t, q, scan_q, scan_mask, map_pts, map_mask,
     nn_ok = d2[:, k - 1] < nn_gate
     AtA = jnp.einsum("qki,qkj->qij", nbrs, nbrs)
     Atb = -jnp.sum(nbrs, axis=-2)
-    n_raw = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(3, dtype=nbrs.dtype), Atb[..., None])[..., 0]
+    n_raw = solve3(AtA, Atb, damping=1e-9)
     norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
     normal = n_raw / norm
     d_off = 1.0 / norm[..., 0]
@@ -68,7 +69,7 @@ def _local_match_and_reduce(t, q, scan_q, scan_mask, map_pts, map_mask,
     w = huber_weight(r * r, huber)
     Jw = J * w[:, None]
     rw = r * w
-    return Jw.T @ Jw, -(Jw.T @ rw), jnp.sum(keep.astype(jnp.int32))
+    return Jw.T @ Jw, -(Jw.T @ rw), jnp.sum(keep.astype(jnp.int32)).astype(jnp.int32)
 
 
 def sharded_scan_match_step(
@@ -120,6 +121,36 @@ def sharded_scan_match_step(
             0, n_iters, body, (t, q, jnp.zeros((), jnp.int32)))
 
     return jax.jit(step)(t, q, scan_pts, scan_mask, map_pts, map_mask)
+
+
+def sharded_knn(mesh: Mesh, queries: jnp.ndarray, map_pts: jnp.ndarray,
+                map_mask: jnp.ndarray, k: int = 5):
+    """Map-sharded exact kNN: each device searches its map shard, the
+    per-shard (Q, k) candidates are all-gathered (k·Q floats — tiny next to
+    the O(Q·P) distance work it parallelizes) and merged to the global
+    top-k. Returns replicated (dists² (Q,k), global idx (Q,k)).
+
+    This is the memory-scaling axis: the voxel map can exceed a single
+    chip's HBM; shards live where they're searched.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    P_total = map_pts.shape[0]
+    assert P_total % n_dev == 0, "map size must divide the mesh"
+    shard = P_total // n_dev
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(axis), P(axis)), out_specs=(P(), P()),
+             check_vma=False)  # outputs replicated by construction (all_gather+top_k)
+    def run(q, pts_shard, mask_shard):
+        d_loc, i_loc = knn(q, pts_shard, k=k, p_mask=mask_shard)
+        i_glob = i_loc + jax.lax.axis_index(axis) * shard
+        d_all = jax.lax.all_gather(d_loc, axis, axis=1, tiled=True)  # (Q, n·k)
+        i_all = jax.lax.all_gather(i_glob, axis, axis=1, tiled=True)
+        neg, arg = jax.lax.top_k(-d_all, k)
+        return -neg, jnp.take_along_axis(i_all, arg, axis=1)
+
+    return jax.jit(run)(queries, map_pts, map_mask)
 
 
 def sharded_hessian_reduce(mesh: Mesh, J: jnp.ndarray, r: jnp.ndarray):
