@@ -1,0 +1,104 @@
+"""Full-loop demo: drive a closed circle through the complete system
+(frontend → backend fusion → global graph), fire loop closure on revisit,
+and report ATE before/after the graph correction.
+
+This is the synthetic counterpart of the reference's campus-loop rosbag
+validation (README.md:57-76). Run on TPU (default) or CPU (--cpu).
+
+Usage: python examples/run_loop_closure.py [--cpu] [--frames N]
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--frames", type=int, default=220)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lili_om_tpu.models.fusion import FusionConfig
+    from lili_om_tpu.models.odometry import OdometryConfig
+    from lili_om_tpu.models.system import LiliOmSystem, LoopClosureConfig
+    from lili_om_tpu.ops.features_spin import SpinFeatureConfig
+    from lili_om_tpu.sim.lidar import simulate_scan, spinning_pattern
+    from lili_om_tpu.sim.trajectory import circle_trajectory, pose_at, simulate_imu
+    from lili_om_tpu.sim.world import make_room_world
+    from lili_om_tpu.utils.math import pose_relative
+
+    R, C, PERIOD = 16, 720, 0.1
+    n = args.frames
+    # circle period chosen so the trajectory returns to the start within the run
+    world = make_room_world()
+    period_s = (n - 20) * PERIOD
+    traj = circle_trajectory(radius=6.0, period=period_s, speed_up=3.0)
+    pattern = spinning_pattern(n_rings=R, n_cols=C)
+
+    sys_ = LiliOmSystem(
+        odo_cfg=OdometryConfig(n_recent_frames=10, scan_cap=4096, query_cap=1024,
+                               map_cap=16384),
+        fusion_cfg=FusionConfig(window=3, local_map_width=20, kf_surf_cap=4096,
+                                kf_edge_cap=1024, map_surf_cap=32768, map_edge_cap=4096,
+                                use_reflectivity=False, weight_gate=0.3,
+                                lidar_const=7.5, max_num_iter=6, imu_cap=64),
+        feat_cfg=SpinFeatureConfig(surf_cap=4096),
+        lc_cfg=LoopClosureConfig(time_thres=min(10.0, period_s / 3),
+                                 search_radius=5.0, icp_thres=0.3, map_width=6,
+                                 latest_width=1),
+        graph_capacity=max(256, n),
+        dtype=jnp.float32,
+    )
+
+    imu = simulate_imu(traj, 0.0, n * PERIOD + PERIOD, rate=200.0)
+    sys_.push_imu(np.asarray(imu.stamps), np.asarray(imu.accs), np.asarray(imu.gyrs))
+    t0w, q0w = pose_at(traj, 0.0)
+
+    gts = []
+    loops = 0
+    t_start = time.time()
+    for k in range(n):
+        ts = k * PERIOD
+        scan = simulate_scan(world, traj, ts, pattern, period=PERIOD)
+        sys_.process_scan(scan.pts.reshape(R, C, 3), scan.valid.reshape(R, C),
+                          scan.rel_time.reshape(R, C), ts)
+        tg, qg = pose_at(traj, ts)
+        rt, _ = pose_relative(t0w, q0w, tg, qg)
+        gts.append(np.asarray(rt))
+        if k % 10 == 0 and k > 0:  # the reference's 1 Hz loop thread
+            if sys_.try_loop_closure():
+                loops += 1
+                print(f"  loop closure fired at frame {k}")
+        if k % 50 == 0:
+            print(f"frame {k:4d}  kf={len(sys_.kf_stamps):3d}  "
+                  f"est={np.asarray(sys_.trajectory[-1]).round(2)}  gt={np.asarray(rt).round(2)}")
+
+    wall = time.time() - t_start
+    # per-frame frontend ATE
+    err = np.array([np.linalg.norm(e - g) for e, g in zip(sys_.trajectory, gts)])
+    # keyframe ATE against the (possibly loop-corrected) graph
+    nk = len(sys_.kf_stamps)
+    g_t = np.asarray(sys_.graph.t[:nk])
+    kf_frames = [int(round(s / PERIOD)) for s in sys_.kf_stamps]
+    kf_err = np.array([np.linalg.norm(g_t[i] - gts[f]) for i, f in enumerate(kf_frames)])
+
+    print(f"\nframes: {n}, keyframes: {nk}, loop closures: {loops}")
+    print(f"frontend ATE RMSE: {np.sqrt((err**2).mean()):.3f} m (max {err.max():.3f})")
+    print(f"graph keyframe ATE RMSE: {np.sqrt((kf_err**2).mean()):.3f} m (max {kf_err.max():.3f})")
+    print(f"throughput: {n / wall:.1f} scans/s wall ({wall:.1f}s total incl. sim+compile)")
+    print("\nstage timing:\n" + sys_.metrics.pretty())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,7 +45,7 @@ from ..factors.lidar import (
 )
 from ..factors.prior import MarginalPrior, marginal_prior_residual, speed_bias_prior
 from ..ops.fitting import eig3_symmetric, solve3
-from ..ops.knn import knn
+from ..ops.knn import knn_auto
 from ..ops.marginalization import schur_marginalize
 from ..ops.preintegration import (
     ImuNoise,
@@ -183,7 +183,7 @@ def _surf_correspondences(pts_b, pts_mask, refl, t_w, q_w, map_pts, map_mask, ma
     normal (:1658-1676).
     """
     pw = quat_rotate(q_w[None, :], pts_b) + t_w[None, :]
-    d2, idx = knn(pw, map_pts, k=cfg.k, p_mask=map_mask)
+    d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
     nbrs = map_pts[idx]
     nn_ok = d2[:, cfg.k - 1] < cfg.kd_max_radius
 
@@ -228,7 +228,7 @@ def _edge_correspondences(pts_b, pts_mask, t_w, q_w, map_pts, map_mask, cfg: Fus
     5-NN, covariance eigendecomposition, λ₂>3·λ₁ gate, virtual points at
     centroid ± 0.1·direction; factor weight = lidar_const."""
     pw = quat_rotate(q_w[None, :], pts_b) + t_w[None, :]
-    d2, idx = knn(pw, map_pts, k=cfg.k, p_mask=map_mask)
+    d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
     nbrs = map_pts[idx]
     nn_ok = d2[:, cfg.k - 1] < cfg.edge_nn_gate
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..factors.lidar import PlaneFactorBatch, huber_weight, plane_residual
 from ..ops.fitting import solve3
-from ..ops.knn import knn
+from ..ops.knn import knn_auto
 from ..ops.voxel import voxel_downsample
 from ..solver.gn import gn_update
 from ..utils.math import (
@@ -106,7 +106,7 @@ def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryC
     """One correspondence round: kNN + plane fits + ``gn_iters`` GN steps."""
     # world-frame query positions under the current estimate
     pw = quat_rotate(q[None, :], scan_q) + t[None, :]
-    d2, idx = knn(pw, map_pts, k=cfg.k, p_mask=map_mask)
+    d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
     nbrs = map_pts[idx]  # (Q,k,3)
     nn_ok = d2[:, cfg.k - 1] < cfg.nn_gate  # 5th-NN distance gate (:365)
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..factors.lidar import PlaneFactorBatch, plane_residual
 from ..ops.fitting import eig3_symmetric
-from ..ops.knn import knn
+from ..ops.knn import knn_auto
 from ..solver.gn import gn_update
 from ..utils.math import exp_so3, quat_mul, quat_normalize, quat_rotate
 
@@ -50,7 +50,7 @@ def icp_point_to_plane(
     def one_iter(_, carry):
         t, q = carry
         pw = quat_rotate(q[None, :], src_pts) + t[None, :]
-        d2, idx = knn(pw, tgt_pts, k=k, p_mask=tgt_mask)
+        d2, idx = knn_auto(pw, tgt_pts, k=k, p_mask=tgt_mask)
         nbrs = tgt_pts[idx]
         nn_ok = d2[:, 0] < max_corr_dist**2
         # centered covariance plane fit (smallest eigenvector): unlike the
@@ -77,7 +77,7 @@ def icp_point_to_plane(
 
     # fitness: mean squared 1-NN distance of in-range source points (PCL)
     pw = quat_rotate(q[None, :], src_pts) + t[None, :]
-    d2, _ = knn(pw, tgt_pts, k=1, p_mask=tgt_mask)
+    d2, _ = knn_auto(pw, tgt_pts, k=1, p_mask=tgt_mask)
     d2 = d2[:, 0]
     ok = src_mask & (d2 < max_corr_dist**2)
     n = jnp.sum(ok.astype(jnp.int32))

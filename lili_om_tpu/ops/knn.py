@@ -123,3 +123,14 @@ def knn(
 def gather_neighbors(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """(P,3), (Q,k) → (Q,k,3)."""
     return points[idx]
+
+
+def knn_auto(queries, points, k: int = 5, p_mask=None):
+    """Backend-dispatching kNN: the fused Pallas kernel on TPU (2.9× the XLA
+    path — distance tiles never leave VMEM, see ops/knn_pallas.py), the
+    tiled-XLA path elsewhere (CPU tests, shard_map bodies)."""
+    if jax.default_backend() == "tpu" and queries.dtype == jnp.float32:
+        from .knn_pallas import knn_pallas
+
+        return knn_pallas(queries, points, k=k, p_mask=p_mask)
+    return knn(queries, points, k=k, p_mask=p_mask)
