@@ -303,6 +303,48 @@ class LiliOmSystem:
                                          self.lc_cfg.submap_cap)
         return out, out_mask
 
+    # ------------------------------------------------------------------
+    # map export (publishCompleteMap :2644-2685 + save_pcd :2697-2722)
+    # ------------------------------------------------------------------
+
+    def build_global_map(self, leaf: float = 0.3, cap: int = 262144) -> np.ndarray:
+        """Assemble the global map: every archived keyframe cloud transformed
+        by its (loop-corrected) graph pose, voxel-downsampled at ``leaf``
+        (mapping_ds=0.3, config_fr_iosb.yaml:35). Returns (N,3) numpy."""
+        n = len(self.kf_clouds)
+        if n == 0:
+            return np.zeros((0, 3))
+        g_t = np.asarray(self.graph.t[:n])
+        g_q = np.asarray(self.graph.q[:n])
+        parts = []
+        for i in range(n):
+            c = self.kf_clouds[i]
+            if len(c) == 0:
+                continue
+            w = quat_rotate(jnp.broadcast_to(jnp.asarray(g_q[i], self.dtype), (c.shape[0], 4)),
+                            jnp.asarray(c, self.dtype)) + jnp.asarray(g_t[i], self.dtype)
+            parts.append(np.asarray(w))
+        allp = jnp.asarray(np.concatenate(parts), self.dtype)
+        out, mask = voxel_downsample(allp, jnp.ones(allp.shape[0], bool), leaf, cap)
+        return np.asarray(out[np.asarray(mask)])
+
+    def export_map(self, path: str, leaf: float = 0.3) -> int:
+        """Write the global map as a binary PCD (the reference hardcodes its
+        output path, BackendFusion.cpp:2718 — here it's an argument).
+        Uses the native C++ writer when available. Returns point count."""
+        pts = self.build_global_map(leaf=leaf)
+        try:
+            from ..runtime import native
+
+            if native.available() and native.pcd_write_native(path, pts):
+                return len(pts)
+        except Exception:
+            pass
+        from ..io.pcd import write_pcd
+
+        write_pcd(path, pts)
+        return len(pts)
+
     def _correct_poses(self):
         """correctPoses (:2177-2311): rewrite keyframe poses from the graph,
         update the fusion ring buffer + window, drop the marginalization

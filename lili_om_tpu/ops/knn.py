@@ -13,6 +13,7 @@ All shapes static; invalid entries are masked with +inf distances.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -125,11 +126,17 @@ def gather_neighbors(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return points[idx]
 
 
+_PALLAS_KNN = os.environ.get("LILI_OM_PALLAS_KNN", "0") == "1"
+
+
 def knn_auto(queries, points, k: int = 5, p_mask=None):
-    """Backend-dispatching kNN: the fused Pallas kernel on TPU (2.9× the XLA
-    path — distance tiles never leave VMEM, see ops/knn_pallas.py), the
-    tiled-XLA path elsewhere (CPU tests, shard_map bodies)."""
-    if jax.default_backend() == "tpu" and queries.dtype == jnp.float32:
+    """Backend-dispatching kNN. The fused Pallas kernel (ops/knn_pallas.py)
+    is 2.7× the XLA path in isolation (2.4 vs 6.7 ms for 4096×32768 on one
+    v5e), but embedding tpu_custom_call inside the large jitted pipeline
+    programs blows XLA:TPU compile times from ~30 s to many minutes under
+    the current toolchain — so it is opt-in via LILI_OM_PALLAS_KNN=1 until
+    that is resolved; the default is the tiled-XLA min-extraction path."""
+    if _PALLAS_KNN and jax.default_backend() == "tpu" and queries.dtype == jnp.float32:
         from .knn_pallas import knn_pallas
 
         return knn_pallas(queries, points, k=k, p_mask=p_mask)

@@ -4,11 +4,14 @@ VMEM, so the (Q×P) distance matrix never touches HBM.
 The XLA-only path (ops/knn.py) materializes each (Q, tile) distance block in
 HBM and re-reads it for every min-extraction pass (~1.3 GB of traffic for
 4096×32768, ≈6 ms on one v5e chip). This kernel streams the map through
-VMEM once per query block: HBM traffic drops to Q·3 + (P·3)·(Q/QB) floats
-(a few MB), with the k·O(QB·TB) min-extraction running entirely on-chip.
+VMEM once per query block: HBM traffic drops to a few MB and the k·O(QB·TB)
+min-extraction runs entirely on-chip (measured ~2-3× the XLA path).
 
-Constraints: no gathers inside the kernel (slow/unsupported on the VPU) —
-index selection uses broadcast compares; outputs are lane-padded to 128.
+Layout notes (Mosaic tiling): a (P, 3) VMEM block is physically padded to
+(P, 128) lanes — 42× memory waste that OOMs scoped VMEM. Points and masks
+are therefore stored transposed, (3, P) / (1, P), which pads only the
+sublane dim (8). No gathers inside the kernel (slow on the VPU) — index
+selection uses broadcast compares.
 """
 from __future__ import annotations
 
@@ -39,26 +42,28 @@ def _extract_k(d, idx, k):
     return jnp.stack(best_d, axis=1), jnp.stack(best_i, axis=1)
 
 
-def _knn_kernel(q_ref, pts_ref, maskinf_ref, out_d_ref, out_i_ref, *, k, tile_p):
-    """One query block vs the whole map (streamed in TB tiles)."""
+def _knn_kernel(q_ref, ptsT_ref, maskinf_ref, out_d_ref, out_i_ref, *, k, tile_p):
+    """One query block vs the whole map (streamed in TB tiles).
+
+    q_ref: (QB, 3); ptsT_ref: (3, P); maskinf_ref: (1, P) additive +inf mask.
+    """
     q = q_ref[:]  # (QB, 3)
     QB = q.shape[0]
-    P = pts_ref.shape[0]
+    P = ptsT_ref.shape[1]
     n_tiles = P // tile_p
     q_norm = jnp.sum(q * q, axis=1, keepdims=True)  # (QB,1)
 
     def body(t, carry):
         best_d, best_i = carry  # (QB, k)
-        pts = pts_ref[pl.ds(t * tile_p, tile_p), :]  # (TB, 3)
-        minf = maskinf_ref[0, pl.ds(t * tile_p, tile_p)]  # (TB,) 0 or +inf
+        ptsT = ptsT_ref[:, pl.ds(t * tile_p, tile_p)]  # (3, TB)
+        minf = maskinf_ref[0, pl.ds(t * tile_p, tile_p)]  # (TB,)
         cross = jax.lax.dot_general(
-            q, pts, (((1,), (1,)), ((), ())),
+            q, ptsT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (QB, TB)
-        p_norm = jnp.sum(pts * pts, axis=1)  # (TB,)
+        p_norm = jnp.sum(ptsT * ptsT, axis=0)  # (TB,)
         d = q_norm + (p_norm + minf)[None, :] - 2.0 * cross
         idx0 = t * tile_p + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
         td, ti = _extract_k(d, idx0, k)
-        # merge tile top-k with running best
         cat_d = jnp.concatenate([best_d, td], axis=1)  # (QB, 2k)
         cat_i = jnp.concatenate([best_i, ti], axis=1)
         return _extract_k(cat_d, cat_i, k)
@@ -73,12 +78,12 @@ def _knn_kernel(q_ref, pts_ref, maskinf_ref, out_d_ref, out_i_ref, *, k, tile_p)
 
 @partial(jax.jit, static_argnames=("k", "q_block", "tile_p", "interpret"))
 def knn_pallas(queries, points, k: int = 5, p_mask=None,
-               q_block: int = 512, tile_p: int = 4096, interpret: bool = False):
+               q_block: int = 256, tile_p: int = 2048, interpret: bool = False):
     """Exact kNN with the fused Pallas kernel. Same contract as ops.knn.knn:
     returns (d² (Q,k) ascending, idx (Q,k)); masked points never match.
 
-    Q must be ≤ a multiple of ``q_block`` (padded internally); P is padded to
-    ``tile_p``. f32 only.
+    VMEM budget ≈ 2·QB·TB·4 B (distance tile + iota) — q_block=256,
+    tile_p=2048 stays ≈4 MB, safe inside larger jitted programs. f32 only.
     """
     Q, P = queries.shape[0], points.shape[0]
     queries = queries.astype(jnp.float32)
@@ -89,7 +94,7 @@ def knn_pallas(queries, points, k: int = 5, p_mask=None,
     Qp = -(-Q // q_block) * q_block
     Pp = -(-P // tile_p) * tile_p
     qpad = jnp.zeros((Qp, 3), jnp.float32).at[:Q].set(queries)
-    ppad = jnp.zeros((Pp, 3), jnp.float32).at[:P].set(points)
+    ptsT = jnp.zeros((3, Pp), jnp.float32).at[:, :P].set(points.T)
     maskinf = jnp.full((1, Pp), jnp.inf, jnp.float32).at[0, :P].set(
         jnp.where(p_mask, 0.0, jnp.inf))
 
@@ -99,7 +104,7 @@ def knn_pallas(queries, points, k: int = 5, p_mask=None,
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Pp, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -111,7 +116,7 @@ def knn_pallas(queries, points, k: int = 5, p_mask=None,
             jax.ShapeDtypeStruct((Qp, _LANE), jnp.int32),
         ],
         interpret=interpret,
-    )(qpad, ppad, maskinf)
+    )(qpad, ptsT, maskinf)
 
     d = jnp.maximum(out_d[:Q, :k], 0.0)
     i = jnp.where(jnp.isfinite(d), out_i[:Q, :k], 0)

@@ -89,3 +89,34 @@ class TestCheckpoint:
         assert sys2.kf_stamps == [0.1, 0.4]
         assert len(sys2.kf_clouds) == 2 and sys2.kf_clouds[1].shape == (7, 3)
         assert sys2.n_frames == 9
+
+
+class TestMapExport:
+    def test_export_map_writes_pcd(self, tmp_path):
+        import jax.numpy as jnp
+        from lili_om_tpu.models.fusion import FusionConfig
+        from lili_om_tpu.models.odometry import OdometryConfig
+        from lili_om_tpu.models.pose_graph import add_node
+        from lili_om_tpu.models.system import LiliOmSystem, LoopClosureConfig
+        from lili_om_tpu.ops.features_spin import SpinFeatureConfig
+
+        sys_ = LiliOmSystem(
+            odo_cfg=OdometryConfig(n_recent_frames=4, scan_cap=256, query_cap=128, map_cap=512),
+            fusion_cfg=FusionConfig(window=3, local_map_width=4, kf_surf_cap=256,
+                                    kf_edge_cap=64, map_surf_cap=512, map_edge_cap=128,
+                                    use_reflectivity=False, max_num_iter=2, imu_cap=16),
+            feat_cfg=SpinFeatureConfig(surf_cap=256),
+            lc_cfg=LoopClosureConfig(), graph_capacity=16, dtype=jnp.float64,
+        )
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            t = jnp.asarray([float(i), 0.0, 0.0])
+            sys_.graph = add_node(sys_.graph, t, jnp.array([1.0, 0, 0, 0.0]))
+            sys_.kf_stamps.append(0.1 * i)
+            sys_.kf_positions.append(np.asarray(t))
+            sys_.kf_clouds.append(rng.normal(size=(50, 3)))
+        p = str(tmp_path / "global_map.pcd")
+        n = sys_.export_map(p)
+        assert n > 0
+        back = read_pcd(p)
+        assert back.shape[0] == n
