@@ -63,17 +63,19 @@ def main():
     ostate = init_state(ocfg, dtype=jnp.float32)
     fstate = init_fusion_state(bcfg, noise, dtype=jnp.float32)
 
-    def frame(ostate, fstate, img, valid, rel, dts, accs, gyrs, vm):
+    def frame(ostate, fstate, img, valid, rel, dts, accs, gyrs, vm, warmup=False):
         fc = extract_features_spin(img, valid, rel, fcfg)
         ostate, out = odometry_step(ostate, fc.surf_pts, fc.surf_mask, ocfg)
         ep, em = pad_cloud(fc.edge_pts, fc.edge_mask, bcfg.kf_edge_cap)
         fstate, fout = fusion_step(
             fstate, fc.surf_pts, fc.surf_mask, jnp.zeros_like(fc.surf_pts[:, 0]),
-            ep, em, dts, accs, gyrs, vm, bcfg, noise)
+            ep, em, dts, accs, gyrs, vm, bcfg, noise, warmup=warmup)
         return ostate, fstate, fout
 
     for k in range(N_WARM):
-        ostate, fstate, fout = frame(ostate, fstate, *scans[k])
+        # first window-1 keyframes run the warmup program (:833)
+        ostate, fstate, fout = frame(ostate, fstate, *scans[k],
+                                     warmup=(k + 1 < bcfg.window))
     fout.t_latest.block_until_ready()
 
     t0 = time.perf_counter()

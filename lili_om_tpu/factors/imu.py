@@ -67,3 +67,84 @@ def imu_factor(p: Preint, noise: ImuNoise,
 
 # Batched over a window of consecutive intervals.
 imu_factor_batch = jax.vmap(imu_factor, in_axes=(0, None) + (0,) * 10)
+
+
+def imu_factor_analytic(p: Preint, noise: ImuNoise,
+                        ti, qi, vi, bai, bgi,
+                        tj, qj, vj, baj, bgj,
+                        W=None):
+    """Hand-derived Jacobians (the reference's ImuFactor.h:44-141 forms,
+    re-expressed for the right-retraction tangent). Produces a much smaller
+    traced graph than the jacfwd version — used in the fusion hot loop;
+    equality with autodiff is asserted by tests/test_imu_factor.py.
+
+    First-order approximations shared with the reference: the quaternion
+    normalize in the residual is treated as identity (exact at unit
+    quaternions), and bias corrections enter through the preintegration
+    Jacobian blocks.
+    """
+    from ..ops.preintegration import (
+        O_BA,
+        O_BG,
+        O_P,
+        O_R,
+        O_V,
+        bias_corrected_deltas,
+        residual as preint_residual,
+    )
+    from ..utils.math import (
+        hat,
+        quat_conj,
+        quat_left_matrix,
+        quat_right_matrix,
+        quat_rotate,
+        quat_to_rotmat,
+    )
+
+    if W is None:
+        W = sqrt_info(p)
+    dtype = p.dp.dtype
+    g = noise.g_vec(dtype)
+    dt = p.sum_dt
+    r = preint_residual(p, noise, ti, qi, vi, bai, bgi, tj, qj, vj, baj, bgj)
+
+    Ri_T = quat_to_rotmat(quat_conj(qi))
+    alpha = -0.5 * g * dt * dt + tj - ti - vi * dt
+    beta = -g * dt + vj - vi
+    dp, dq_corr, dv = bias_corrected_deltas(p, bai, bgi)
+    q_ij = quat_mul(quat_conj(qi), qj)
+    J_p_ba = p.jacobian[O_P:O_P + 3, O_BA:O_BA + 3]
+    J_p_bg = p.jacobian[O_P:O_P + 3, O_BG:O_BG + 3]
+    J_v_ba = p.jacobian[O_V:O_V + 3, O_BA:O_BA + 3]
+    J_v_bg = p.jacobian[O_V:O_V + 3, O_BG:O_BG + 3]
+    J_q_bg = p.jacobian[O_R:O_R + 3, O_BG:O_BG + 3]
+
+    Z = jnp.zeros((3, 3), dtype)
+    I3 = jnp.eye(3, dtype=dtype)
+
+    # rotation-residual blocks (vec parts of quaternion product matrices)
+    Lbr = lambda q: quat_left_matrix(q)[1:, 1:]
+    Rbr = lambda q: quat_right_matrix(q)[1:, 1:]
+    dq_inv = quat_conj(dq_corr)
+    Jq_ti = -(quat_left_matrix(dq_inv) @ quat_right_matrix(q_ij))[1:, 1:]
+    Jq_tj = Lbr(quat_mul(dq_inv, q_ij))
+    Jq_bg = -Rbr(quat_mul(dq_inv, q_ij)) @ J_q_bg
+
+    def rows(*blocks):
+        return jnp.concatenate([jnp.concatenate(b, axis=1) for b in blocks], axis=0)
+
+    Ji = rows(
+        (-Ri_T, hat(Ri_T @ alpha), -Ri_T * dt, -J_p_ba, -J_p_bg),
+        (Z, Jq_ti, Z, Z, Jq_bg),
+        (Z, hat(Ri_T @ beta), -Ri_T, -J_v_ba, -J_v_bg),
+        (Z, Z, Z, -I3, Z),
+        (Z, Z, Z, Z, -I3),
+    )
+    Jj = rows(
+        (Ri_T, Z, Z, Z, Z),
+        (Z, Jq_tj, Z, Z, Z),
+        (Z, Z, Ri_T, Z, Z),
+        (Z, Z, Z, I3, Z),
+        (Z, Z, Z, Z, I3),
+    )
+    return W @ r, W @ Ji, W @ Jj

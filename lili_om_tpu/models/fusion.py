@@ -34,7 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..factors.imu import imu_factor, retract_state
+from ..factors.imu import imu_factor_analytic, retract_state
 from ..factors.lidar import (
     EdgeFactorBatch,
     PlaneFactorBatch,
@@ -283,7 +283,7 @@ def _assemble(ts, qs, vs, bas, bgs, preints, preint_Ws, prior, sb_on, sb_anchor,
     # IMU factors between consecutive keyframes (:906-917)
     for i in range(W - 1):
         pre_i = jax.tree.map(lambda a: a[i], preints)
-        r, Ji, Jj = imu_factor(
+        r, Ji, Jj = imu_factor_analytic(
             pre_i, noise,
             ts[i], qs[i], vs[i], bas[i], bgs[i],
             ts[i + 1], qs[i + 1], vs[i + 1], bas[i + 1], bgs[i + 1],
@@ -332,7 +332,7 @@ def _retract_window(ts, qs, vs, bas, bgs, delta):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "noise"))
+@partial(jax.jit, static_argnames=("cfg", "noise", "warmup"))
 def fusion_step(
     state: FusionState,
     surf_pts: jnp.ndarray,  # (Sc,3) lidar frame (frontend-downsampled)
@@ -346,10 +346,17 @@ def fusion_step(
     imu_valid: jnp.ndarray,  # (imu_cap,)
     cfg: FusionConfig = FusionConfig(),
     noise: ImuNoise = ImuNoise(),
+    warmup: bool = False,
 ):
     """Ingest one keyframe: IMU propagate + preintegrate, window shift,
     local-map correspondence, sliding-window GN, guarded write-back,
-    marginalization, ring-buffer update."""
+    marginalization, ring-buffer update.
+
+    ``warmup`` (static): pass True while the window is not yet full
+    (kf_count+1 < window, the reference's :833 early-out) — the caller
+    knows the keyframe count, so start-up is a separate small compiled
+    program instead of a traced ``cond`` doubling the main program.
+    """
     W, M = cfg.window, cfg.local_map_width
     dtype = state.t.dtype
     q_lb = jnp.asarray(cfg.q_lb, dtype)
@@ -423,13 +430,26 @@ def fusion_step(
     win_surf_b = jax.vmap(lambda p: body_points(p, t_lb, q_lb))(win_surf)
     win_edge_b = win_edge
 
-    surf_batches = jax.vmap(
-        _surf_correspondences, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
-    )(win_surf_b, win_surf_mask, win_surf_refl, ts, qs, map_surf, map_surf_mask,
-      map_refl, cfg)
-    edge_batches = jax.vmap(
-        _edge_correspondences, in_axes=(0, 0, 0, 0, None, None, None)
-    )(win_edge_b, win_edge_mask, ts, qs, map_edge, map_edge_mask, cfg)
+    if warmup:
+        zero_plane = PlaneFactorBatch(
+            pts=win_surf_b, normals=jnp.zeros_like(win_surf_b),
+            offsets=jnp.zeros(win_surf_b.shape[:2], dtype),
+            scores=jnp.zeros(win_surf_b.shape[:2], dtype),
+            mask=jnp.zeros(win_surf_b.shape[:2], bool))
+        zero_edge = EdgeFactorBatch(
+            pts=win_edge_b, point_a=jnp.zeros_like(win_edge_b),
+            point_b=jnp.zeros_like(win_edge_b),
+            scores=jnp.zeros(win_edge_b.shape[:2], dtype),
+            mask=jnp.zeros(win_edge_b.shape[:2], bool))
+        surf_batches, edge_batches = zero_plane, zero_edge
+    else:
+        surf_batches = jax.vmap(
+            _surf_correspondences, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
+        )(win_surf_b, win_surf_mask, win_surf_refl, ts, qs, map_surf, map_surf_mask,
+          map_refl, cfg)
+        edge_batches = jax.vmap(
+            _edge_correspondences, in_axes=(0, 0, 0, 0, None, None, None)
+        )(win_edge_b, win_edge_mask, ts, qs, map_edge, map_edge_mask, cfg)
     # disable lidar factors when the map is too sparse (:936, start-up)
     surf_batches = surf_batches._replace(
         mask=surf_batches.mask & enough_map,
@@ -439,7 +459,6 @@ def fusion_step(
         scores=edge_batches.scores * enough_map.astype(dtype))
 
     # --- F: Gauss-Newton over the window tangent ---
-    run_opt = state.kf_count + 1 >= W  # window full (:833)
     sb_anchor = (vs[:-1], bas[:-1], bgs[:-1])  # pre-solve anchors (:896-903)
     # whitening matrices depend only on the preintegrated covariances —
     # computed once, reused across all GN iterations and marginalization
@@ -453,11 +472,11 @@ def fusion_step(
         delta = solve_normal(H, -g, cfg.damping)
         return _retract_window(ts, qs, vs, bas, bgs, delta)
 
-    def do_opt(carry):
-        return jax.lax.fori_loop(0, cfg.max_num_iter, gn_iter, carry)
-
-    ts1, qs1, vs1, bas1, bgs1 = jax.lax.cond(
-        run_opt, do_opt, lambda c: c, (ts, qs, vs, bas, bgs))
+    if warmup:
+        ts1, qs1, vs1, bas1, bgs1 = ts, qs, vs, bas, bgs
+    else:
+        ts1, qs1, vs1, bas1, bgs1 = jax.lax.fori_loop(
+            0, cfg.max_num_iter, gn_iter, (ts, qs, vs, bas, bgs))
     qs1 = unify_quaternion(qs1)
 
     # --- G: guarded write-back (:1215-1283) ---
@@ -477,18 +496,19 @@ def fusion_step(
     qs1 = quat_normalize(qs1)
 
     # --- H: marginalize the exiting keyframe into the new prior ---
-    def do_marg(_):
+    if warmup:
+        prior = state.prior
+        sb_anchor_on = state.sb_anchor_on
+    else:
         H, g = _assemble(ts1, qs1, vs1, bas1, bgs1, preints, preint_Ws, state.prior,
                          state.sb_anchor_on, sb_anchor,
                          surf_batches, edge_batches, noise, cfg)
         J, r0 = schur_marginalize(H, g, 15)
-        return MarginalPrior(
+        prior = MarginalPrior(
             J=J, r0=r0, t0=ts1[1:], q0=qs1[1:], v0=vs1[1:],
             ba0=bas1[1:], bg0=bgs1[1:], valid=jnp.ones((), bool),
         )
-
-    prior = jax.lax.cond(run_opt, do_marg, lambda _: state.prior, None)
-    sb_anchor_on = jnp.where(run_opt, False, state.sb_anchor_on)
+        sb_anchor_on = jnp.zeros((), bool)
 
     # --- I: write optimized window poses back into the ring buffer ---
     hist_t = state.hist_t.at[wi].set(t_new)  # placeholder, fixed below

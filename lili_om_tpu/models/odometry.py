@@ -146,10 +146,17 @@ def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryC
     return t, q, jnp.sum(keep.astype(jnp.int32)).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "n_rounds"))
 def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.ndarray,
-                  cfg: OdometryConfig = OdometryConfig()):
+                  cfg: OdometryConfig = OdometryConfig(), n_rounds: int | None = None):
     """Process one frame's surf-feature cloud (sensor frame at scan start).
+
+    ``n_rounds``: static matching-round count. The reference runs 8 rounds
+    for the first two frames, then ``scan_match_cnt`` (:500-504) — the HOST
+    knows the frame counter, so it picks the static count per call (two
+    compiled variants) instead of tracing a data-dependent ``cond`` whose
+    branches double the program (compile time matters through remote
+    compilers). Defaults to ``cfg.scan_match_cnt``.
 
     Returns (new_state, OdometryOut).
     """
@@ -169,25 +176,15 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
     # --- downsample the scan (sensor frame) into the query set ---
     scan_q, scan_q_mask = voxel_downsample(surf_pts, surf_mask, cfg.ds_leaf, cfg.query_cap)
 
-    # --- matching rounds: 8 for the first two frames, else scan_match_cnt ---
-    match_cnt = jnp.where(state.frame_id < 2, cfg.max_rounds, cfg.scan_match_cnt)
-    have_map = jnp.sum(map_mask.astype(jnp.int32)) >= 10  # (:485-488)
-
-    def round_body(i, carry):
-        t, q, n_corr = carry
-
-        def do(_):
-            return _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg)
-
-        def skip(_):
-            return t, q, n_corr
-
-        return jax.lax.cond((i < match_cnt) & have_map, do, skip, None)
-
-    t, q, n_corr = jax.lax.fori_loop(
-        0, cfg.max_rounds, round_body,
-        (t_guess, q_guess, jnp.zeros((), jnp.int32)),
-    )
+    # --- matching rounds (static count, see docstring). An empty start-up
+    # map degrades gracefully: no correspondences → singular H → zero step
+    # (solve_normal guards), matching the reference's <10-points early-out
+    # (:485-488) without a traced branch. ---
+    if n_rounds is None:
+        n_rounds = cfg.scan_match_cnt
+    t, q, n_corr = t_guess, q_guess, jnp.zeros((), jnp.int32)
+    for _ in range(n_rounds):
+        t, q, n_corr = _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg)
     q = unify_quaternion(q)
 
     # --- keyframe decision (:573-585) ---

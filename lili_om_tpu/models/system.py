@@ -148,8 +148,11 @@ class LiliOmSystem:
             img = flat.reshape(img.shape)
             fc = extract_features_spin(img, valid, rel_time, self.feat_cfg)
         with self.metrics.stage("odometry"):
+            # 8 bootstrap rounds for the first two frames (:500-504)
+            rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
             self.odo_state, out = odometry_step(
-                self.odo_state, fc.surf_pts, fc.surf_mask, self.odo_cfg)
+                self.odo_state, fc.surf_pts, fc.surf_mask, self.odo_cfg,
+                n_rounds=rounds)
         self.n_frames += 1
         self.trajectory.append(np.asarray(out.t))
 
@@ -174,7 +177,9 @@ class LiliOmSystem:
         surf, surf_refl, surf_mask = voxel_downsample(
             lf.surf_pts, lf.surf_mask, 0.3, self.odo_cfg.scan_cap,
             feats=lf.surf_curv[:, None])
-        self.odo_state, out = odometry_step(self.odo_state, surf, surf_mask, self.odo_cfg)
+        rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
+        self.odo_state, out = odometry_step(self.odo_state, surf, surf_mask,
+                                            self.odo_cfg, n_rounds=rounds)
         self.n_frames += 1
         self.trajectory.append(np.asarray(out.t))
 
@@ -222,9 +227,10 @@ class LiliOmSystem:
             gyrs = jnp.zeros((cap, 3), self.dtype).at[:n].set(jnp.asarray(imu_gyrs[:n], self.dtype))
             vmask = jnp.zeros((cap,), bool).at[:n].set(True)
 
+        warm = int(self.fusion_state.kf_count) + 1 < cfg.window
         self.fusion_state, fout = fusion_step(
             self.fusion_state, sp, sm, s_refl, ep, em,
-            dts, accs, gyrs, vmask, cfg, self.noise)
+            dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm)
 
         self.graph = add_node(self.graph, fout.t_latest, fout.q_latest)
         self.kf_stamps.append(stamp)

@@ -117,9 +117,97 @@ def config_synthetic() -> SystemConfig:
     )
 
 
+def _livox_variant(base: SystemConfig, **fusion_over) -> SystemConfig:
+    base.fusion = base.fusion._replace(**fusion_over)
+    return base
+
+
+def config_fr_iosb_internal_imu() -> SystemConfig:
+    """Livox internal-IMU degraded mode (config_fr_iosb_internal_imu.yaml):
+    identity rotation extrinsic, shifted lever arm; pair with
+    io.livox.convert_internal_imu for the g→m/s² + gravity-align path."""
+    return _livox_variant(config_fr_iosb(),
+                          q_lb=(1.0, 0.0, 0.0, 0.0),
+                          t_lb=(-0.05512, -0.02226, 0.02970))
+
+
+def config_fr_iosb_tree() -> SystemConfig:
+    c = _livox_variant(config_fr_iosb(), local_map_width=30, lidar_const=15.0)
+    c.loop_closure.time_thres = 40.0
+    c.loop_closure.icp_thres = 0.15
+    return c
+
+
+def config_ka_urban_campus() -> SystemConfig:
+    c = _livox_variant(config_fr_iosb(), lidar_const=15.0, surf_dist_thres=0.08,
+                       q_lb=(0.0, 0.0, 1.0, 0.0), t_lb=(-0.05, -0.0202, -0.13))
+    c.livox_features = c.livox_features._replace(surf_thres=0.17)
+    c.odometry = c.odometry._replace(scan_match_cnt=2)
+    c.loop_closure.time_thres = 60.0
+    return c
+
+
+def config_ka_urban_east() -> SystemConfig:
+    c = _livox_variant(config_fr_iosb(), lidar_const=15.0, surf_dist_thres=0.08)
+    c.livox_features = c.livox_features._replace(surf_thres=0.16)
+    c.loop_closure.time_thres = 60.0
+    c.loop_closure.search_radius = 20.0
+    c.loop_closure.icp_thres = 0.15
+    return c
+
+
+def config_ka_urban_schloss_1() -> SystemConfig:
+    c = _livox_variant(config_fr_iosb(), local_map_width=30, lidar_const=15.0,
+                       surf_dist_thres=0.03)
+    c.livox_features = c.livox_features._replace(surf_thres=0.15)
+    c.odometry = c.odometry._replace(scan_match_cnt=2)
+    c.loop_closure.time_thres = 60.0
+    c.loop_closure.search_radius = 7.0
+    c.loop_closure.icp_thres = 0.15
+    return c
+
+
+def config_ka_urban_schloss_2() -> SystemConfig:
+    c = _livox_variant(config_fr_iosb(), lidar_const=25.0, surf_dist_thres=0.08)
+    c.livox_features = c.livox_features._replace(surf_thres=0.25, edge_thres=3.0)
+    c.loop_closure.time_thres = 60.0
+    c.loop_closure.search_radius = 7.0
+    c.loop_closure.icp_thres = 0.15
+    return c
+
+
+def config_urban_hk_rot() -> SystemConfig:
+    """ROT 32-line UrbanLoco HK (LiLi-OM-ROT config_urban_hk.yaml)."""
+    c = config_fr_iosb_rot()
+    c.spin_features = c.spin_features._replace(ds_rate=2)
+    c.loop_closure.search_radius = 25.0
+    c.loop_closure.time_thres = 120.0
+    return c
+
+
+def config_utbm_rot() -> SystemConfig:
+    """ROT 32-line UTBM (LiLi-OM-ROT config_utbm.yaml)."""
+    c = config_fr_iosb_rot()
+    c.spin_features = c.spin_features._replace(ds_rate=2)
+    c.fusion = c.fusion._replace(kd_max_radius=1.5)
+    c.imu_noise = ImuNoise(acc_n=18.0, gyr_n=0.0173, acc_w=0.5,
+                           gyr_w=0.00025, init_cov=1e-3)
+    c.loop_closure.search_radius = 25.0
+    c.loop_closure.time_thres = 120.0
+    return c
+
+
 PRESETS = {
     "fr_iosb": config_fr_iosb,
+    "fr_iosb_internal_imu": config_fr_iosb_internal_imu,
+    "fr_iosb_tree": config_fr_iosb_tree,
+    "ka_urban_campus": config_ka_urban_campus,
+    "ka_urban_east": config_ka_urban_east,
+    "ka_urban_schloss_1": config_ka_urban_schloss_1,
+    "ka_urban_schloss_2": config_ka_urban_schloss_2,
     "fr_iosb_rot": config_fr_iosb_rot,
+    "urban_hk_rot": config_urban_hk_rot,
+    "utbm_rot": config_utbm_rot,
     "synthetic": config_synthetic,
 }
 

@@ -61,7 +61,8 @@ def fusion_run():
         sp, sm = pad_cloud(fc.surf_pts.astype(jnp.float64), fc.surf_mask, cfg.kf_surf_cap)
         ep, em = pad_cloud(fc.edge_pts.astype(jnp.float64), fc.edge_mask, cfg.kf_edge_cap)
         state, out = fusion_step(state, sp, sm, jnp.zeros(sp.shape[0]), ep, em,
-                                 dts, accs, gyrs, valid, cfg, noise)
+                                 dts, accs, gyrs, valid, cfg, noise,
+                                 warmup=(int(state.kf_count) + 1 < cfg.window))
         tg, _ = pose_at(traj, ts)
         est.append(np.asarray(out.t_latest))
         gt.append(np.asarray(tg))

@@ -59,6 +59,25 @@ class TestImuFactor:
         r1, _, _ = imu_factor(pre, noise, *si, Pj + jnp.array([0.5, 0, 0]), Qj, Vj, Baj, Bgj)
         assert float(jnp.linalg.norm(r1)) > float(jnp.linalg.norm(r0)) + 1.0
 
+    def test_analytic_matches_autodiff(self):
+        """The hand-derived Jacobians must agree with jacfwd through the
+        retraction (first-order; normalize treated as identity)."""
+        from lili_om_tpu.factors.imu import imu_factor_analytic
+
+        traj = circle_trajectory(radius=10.0, period=30.0)
+        noise, pre, si, sj = _interval_states(traj, 3.0, 3.25)
+        # non-trivial biases at the linearization point
+        si = (si[0], si[1], si[2], jnp.array([0.02, -0.01, 0.03]), jnp.array([0.001, 0.002, -0.001]))
+        sj = (sj[0], sj[1], sj[2], jnp.array([0.02, -0.01, 0.03]), jnp.array([0.001, 0.002, -0.001]))
+        r_ad, Ji_ad, Jj_ad = imu_factor(pre, noise, *si, *sj)
+        r_an, Ji_an, Jj_an = imu_factor_analytic(pre, noise, *si, *sj)
+        np.testing.assert_allclose(np.asarray(r_an), np.asarray(r_ad), rtol=1e-9, atol=1e-12)
+        scale = np.abs(np.asarray(Ji_ad)).max()
+        np.testing.assert_allclose(np.asarray(Ji_an), np.asarray(Ji_ad),
+                                   atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(Jj_an), np.asarray(Jj_ad),
+                                   atol=2e-4 * scale)
+
     def test_gravity_consistency(self):
         """Static trajectory: accelerometer reads −g in body, propagation
         holds position (the reference convention g_vec=(0,0,−9.805))."""
