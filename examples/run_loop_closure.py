@@ -39,10 +39,14 @@ def main():
 
     R, C, PERIOD = 16, 720, 0.1
     n = args.frames
-    # circle period chosen so the trajectory returns to the start within the run
+    # circle period chosen so the trajectory returns to the start within the
+    # run, at walking speed (~1.3 m/s — the reference's datasets; gyro-only
+    # undistortion leaves translation distortion uncorrected, so faster
+    # motion degrades the frontend, same as the reference)
     world = make_room_world()
-    period_s = (n - 20) * PERIOD
-    traj = circle_trajectory(radius=6.0, period=period_s, speed_up=3.0)
+    period_s = (n - 30) * PERIOD
+    radius = min(6.0, 1.3 * period_s / (2 * 3.14159))
+    traj = circle_trajectory(radius=radius, period=period_s, speed_up=3.0)
     pattern = spinning_pattern(n_rings=R, n_cols=C)
 
     sys_ = LiliOmSystem(
@@ -59,6 +63,7 @@ def main():
         graph_capacity=max(256, n),
         dtype=jnp.float32,
     )
+    sys_.deskew_translation = True  # constant-velocity translation deskew
 
     imu = simulate_imu(traj, 0.0, n * PERIOD + PERIOD, rate=200.0)
     sys_.push_imu(np.asarray(imu.stamps), np.asarray(imu.accs), np.asarray(imu.gyrs))

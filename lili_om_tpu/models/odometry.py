@@ -61,6 +61,9 @@ class OdometryConfig(NamedTuple):
     gn_iters: int = 4  # inner GN iterations per round
     kf_dist: float = 0.2  # keyframe translation gate (:571)
     kf_angle: float = 0.1  # keyframe rotation gate (:571)
+    max_step_t: float = 0.5  # GN trust region: per-iteration step clamps
+    max_step_r: float = 0.2
+    max_frame_jump: float = 2.0  # divergence gate vs the motion prior
 
 
 class OdometryState(NamedTuple):
@@ -138,6 +141,15 @@ def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryC
         r, J = plane_residual(t, q, batch)
         w = huber_weight(r * r, cfg.huber)
         delta = gn_update(J, r, damping=1e-8, w=w)
+        # trust region: an ill-conditioned system (feature dropout, fast
+        # motion) must not produce unbounded steps — Ceres bounds these via
+        # its trust-region radius; we clamp per-step norms equivalently
+        tn = jnp.linalg.norm(delta[:3])
+        rn = jnp.linalg.norm(delta[3:6])
+        scale = jnp.minimum(1.0, jnp.minimum(
+            cfg.max_step_t / jnp.maximum(tn, 1e-12),
+            cfg.max_step_r / jnp.maximum(rn, 1e-12)))
+        delta = delta * scale
         t = t + delta[:3]
         q = quat_normalize(quat_mul(q, exp_so3(delta[3:6])))
         return (t, q)
@@ -185,6 +197,12 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
     t, q, n_corr = t_guess, q_guess, jnp.zeros((), jnp.int32)
     for _ in range(n_rounds):
         t, q, n_corr = _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg)
+    # divergence gate: a solution far from the constant-velocity prior means
+    # matching collapsed — fall back to the prior (the backend's
+    # update-rejection analog, BackendFusion.cpp:1215-1283)
+    diverged = jnp.linalg.norm(t - t_guess) > cfg.max_frame_jump
+    t = jnp.where(diverged, t_guess, t)
+    q = jnp.where(diverged, q_guess, q)
     q = unify_quaternion(q)
 
     # --- keyframe decision (:573-585) ---

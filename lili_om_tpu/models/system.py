@@ -91,6 +91,12 @@ class LiliOmSystem:
         self._last_kf_stamp: float | None = None
         self.scan_period = 0.1
         self.metrics = StageMetrics()
+        # optional translation deskew from the constant-velocity motion
+        # prior — an accuracy upgrade over the reference's gyro-only
+        # undistortion (see ops.features_spin.undistort); off by default
+        # for exact reference parity
+        self.deskew_translation = False
+        self._last_rel_t = np.zeros(3)
 
     # ------------------------------------------------------------------
     # IMU stream
@@ -126,15 +132,18 @@ class LiliOmSystem:
     # ------------------------------------------------------------------
 
     def _undistort_with_buffer(self, flat_pts, rel_flat, stamp):
-        """Gyro-only undistortion over [stamp, stamp+period] from the IMU
-        buffer (Preprocessing::processIMU, :129-171)."""
+        """Gyro undistortion over [stamp, stamp+period] from the IMU buffer
+        (Preprocessing::processIMU, :129-171); optional linear translation
+        deskew from the last relative motion."""
         sl = self._imu_slice(stamp, stamp + self.scan_period)
         if sl is None:
             return flat_pts
         dts, _, gyrs = sl
         q_scan = integrate_gyro(jnp.asarray(dts, self.dtype),
                                 jnp.asarray(gyrs, self.dtype))
-        return undistort(flat_pts, rel_flat, q_scan)
+        t_scan = (jnp.asarray(-self._last_rel_t, self.dtype)
+                  if self.deskew_translation else None)
+        return undistort(flat_pts, rel_flat, q_scan, t_scan=t_scan)
 
     def process_scan(self, img, valid, rel_time, stamp: float):
         """One organized spinning-LiDAR sweep (R,C,3). IMU samples covering
@@ -155,6 +164,8 @@ class LiliOmSystem:
                 n_rounds=rounds)
         self.n_frames += 1
         self.trajectory.append(np.asarray(out.t))
+        if self.deskew_translation:
+            self._last_rel_t = np.asarray(out.rel_t)
 
         if bool(out.is_keyframe):
             with self.metrics.stage("backend"):
@@ -214,18 +225,23 @@ class LiliOmSystem:
         else:
             sl = self._imu_slice(self._last_kf_stamp, stamp)
         self._last_kf_stamp = stamp
-        if sl is None:
-            dts = jnp.zeros((cap,), self.dtype)
-            accs = jnp.zeros((cap, 3), self.dtype)
-            gyrs = jnp.zeros((cap, 3), self.dtype)
-            vmask = jnp.zeros((cap,), bool)
-        else:
+        # batch assembly in numpy: one host→device transfer per array instead
+        # of a chain of eager device ops (each eager op is an RPC round-trip
+        # on remote-attached TPUs)
+        np_dtype = np.dtype(jnp.zeros(0, self.dtype).dtype.name)
+        dts_np = np.zeros((cap,), np_dtype)
+        accs_np = np.zeros((cap, 3), np_dtype)
+        gyrs_np = np.zeros((cap, 3), np_dtype)
+        vmask_np = np.zeros((cap,), bool)
+        if sl is not None:
             imu_dts, imu_accs, imu_gyrs = sl
             n = min(len(imu_dts), cap)
-            dts = jnp.zeros((cap,), self.dtype).at[:n].set(jnp.asarray(imu_dts[:n], self.dtype))
-            accs = jnp.zeros((cap, 3), self.dtype).at[:n].set(jnp.asarray(imu_accs[:n], self.dtype))
-            gyrs = jnp.zeros((cap, 3), self.dtype).at[:n].set(jnp.asarray(imu_gyrs[:n], self.dtype))
-            vmask = jnp.zeros((cap,), bool).at[:n].set(True)
+            dts_np[:n] = imu_dts[:n]
+            accs_np[:n] = imu_accs[:n]
+            gyrs_np[:n] = imu_gyrs[:n]
+            vmask_np[:n] = True
+        dts, accs, gyrs, vmask = (jnp.asarray(dts_np), jnp.asarray(accs_np),
+                                  jnp.asarray(gyrs_np), jnp.asarray(vmask_np))
 
         warm = int(self.fusion_state.kf_count) + 1 < cfg.window
         self.fusion_state, fout = fusion_step(

@@ -87,10 +87,17 @@ def integrate_gyro(dts: jnp.ndarray, gyrs: jnp.ndarray, mask=None) -> jnp.ndarra
 
 
 def undistort(pts: jnp.ndarray, rel_time: jnp.ndarray, q_scan: jnp.ndarray,
-              q_lb: jnp.ndarray | None = None) -> jnp.ndarray:
+              q_lb: jnp.ndarray | None = None,
+              t_scan: jnp.ndarray | None = None) -> jnp.ndarray:
     """Rotate each point into the scan-start frame by the slerp fraction of
     the scan rotation (:153-177). ``q_lb``: lidar←IMU extrinsic conjugation
     (identity for the Livox variant, LiLi-OM/src/Preprocessing.cpp:104-127).
+
+    ``t_scan``: optional sensor translation over the sweep (e.g. the
+    constant-velocity relative translation) — adds linear translation
+    deskew ``+ ratio·t_scan``, which the reference lacks for the *feature*
+    path (its ``if_to_deskew`` only re-skews published clouds,
+    LidarOdometry.cpp:624-632). Improves fast-motion accuracy.
     """
     ratio = jnp.clip(rel_time, 0.0, 1.0)
     qid = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0], pts.dtype), (pts.shape[0], 4))
@@ -98,7 +105,10 @@ def undistort(pts: jnp.ndarray, rel_time: jnp.ndarray, q_scan: jnp.ndarray,
     if q_lb is not None:
         q_lb = jnp.broadcast_to(q_lb, (pts.shape[0], 4))
         q_si = quat_mul(quat_mul(q_lb, q_si), quat_conj(q_lb))
-    return quat_rotate(q_si, pts)
+    out = quat_rotate(q_si, pts)
+    if t_scan is not None:
+        out = out + ratio[:, None] * t_scan[None, :]
+    return out
 
 
 # ---------------------------------------------------------------------------
