@@ -84,6 +84,9 @@ class FusionConfig(NamedTuple):
     use_reflectivity: bool = True  # Livox variant; False → ROT plain fit
     weight_gate: float = 0.2  # surf weight keep gate (0.3 in ROT :1464-1521)
     damping: float = 1e-6
+    # "centered": covariance plane fit (f32-stable); "ref": the reference's
+    # origin-dependent weighted A·n=−1 form (see models/odometry.py note)
+    plane_fit: str = "centered"
     # lidar→body extrinsic (config ql2b/tl2b); identity by default
     q_lb: tuple = (1.0, 0.0, 0.0, 0.0)
     t_lb: tuple = (0.0, 0.0, 0.0)
@@ -198,14 +201,26 @@ def _surf_correspondences(pts_b, pts_mask, refl, t_w, q_w, map_pts, map_mask, ma
         vec_w = jnp.ones(idx.shape, pts_b.dtype)
         refl_ok = jnp.ones(pts_b.shape[0], bool)
 
-    # weighted least squares (diag(w)·P)n = −w  →  normal equations
-    w2 = vec_w * vec_w
-    AtA = jnp.einsum("qk,qki,qkj->qij", w2, nbrs, nbrs)
-    Atb = -jnp.einsum("qk,qki->qi", w2, nbrs)
-    n_raw = solve3(AtA, Atb, damping=1e-9)
-    norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
-    normal = n_raw / norm
-    d_off = 1.0 / norm[..., 0]
+    if cfg.plane_fit == "centered":
+        # reflectivity-weighted centroid + covariance (weights w², matching
+        # the weighted-LS row scaling of the reference's form)
+        w2 = vec_w * vec_w
+        wsum = jnp.maximum(jnp.sum(w2, axis=-1, keepdims=True), 1e-12)
+        ctr = jnp.einsum("qk,qki->qi", w2, nbrs) / wsum
+        dd = nbrs - ctr[:, None, :]
+        cov = jnp.einsum("qk,qki,qkj->qij", w2, dd, dd)
+        _, evecs = eig3_symmetric(cov)
+        normal = evecs[..., :, 0]
+        d_off = -jnp.sum(normal * ctr, axis=-1)
+    else:
+        # weighted least squares (diag(w)·P)n = −w  →  normal equations
+        w2 = vec_w * vec_w
+        AtA = jnp.einsum("qk,qki,qkj->qij", w2, nbrs, nbrs)
+        Atb = -jnp.einsum("qk,qki->qi", w2, nbrs)
+        n_raw = solve3(AtA, Atb, damping=1e-9)
+        norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
+        normal = n_raw / norm
+        d_off = 1.0 / norm[..., 0]
     pd_nbr = jnp.abs(jnp.einsum("qki,qi->qk", nbrs, normal) + d_off[:, None])
     plane_ok = jnp.all(pd_nbr <= cfg.surf_dist_thres, axis=-1)
 

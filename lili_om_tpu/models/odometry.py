@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..factors.lidar import PlaneFactorBatch, huber_weight, plane_residual
-from ..ops.fitting import solve3
+from ..ops.fitting import eig3_symmetric, solve3
 from ..ops.knn import knn_auto
 from ..ops.voxel import voxel_downsample
 from ..solver.gn import gn_update
@@ -64,6 +64,11 @@ class OdometryConfig(NamedTuple):
     max_step_t: float = 0.5  # GN trust region: per-iteration step clamps
     max_step_r: float = 0.2
     max_frame_jump: float = 2.0  # divergence gate vs the motion prior
+    # "centered": normal from the neighbor covariance (eig3), offset through
+    # the centroid — f32-stable and geometrically unbiased. "ref": the
+    # reference's origin-dependent A·n=−1 QR form (LidarOdometry.cpp:362-377),
+    # whose normal-equation cancellation amplifies f32 drift ~3×.
+    plane_fit: str = "centered"
 
 
 class OdometryState(NamedTuple):
@@ -113,14 +118,22 @@ def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryC
     nbrs = map_pts[idx]  # (Q,k,3)
     nn_ok = d2[:, cfg.k - 1] < cfg.nn_gate  # 5th-NN distance gate (:365)
 
-    # plane fit A·n = −1 over the k neighbors (all valid: masked kNN padding
-    # yields +inf dists which fail nn_ok anyway)
-    AtA = jnp.einsum("qki,qkj->qij", nbrs, nbrs)
-    Atb = -jnp.sum(nbrs, axis=-2)
-    n_raw = solve3(AtA, Atb, damping=1e-9)
-    norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
-    normal = n_raw / norm
-    d_off = 1.0 / norm[..., 0]
+    # plane fit over the k neighbors (all valid: masked kNN padding yields
+    # +inf dists which fail nn_ok anyway)
+    if cfg.plane_fit == "centered":
+        ctr = jnp.mean(nbrs, axis=-2)
+        dd = nbrs - ctr[:, None, :]
+        cov = jnp.einsum("qki,qkj->qij", dd, dd)
+        _, evecs = eig3_symmetric(cov)
+        normal = evecs[..., :, 0]
+        d_off = -jnp.sum(normal * ctr, axis=-1)
+    else:  # the reference's A·n = −1 form
+        AtA = jnp.einsum("qki,qkj->qij", nbrs, nbrs)
+        Atb = -jnp.sum(nbrs, axis=-2)
+        n_raw = solve3(AtA, Atb, damping=1e-9)
+        norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
+        normal = n_raw / norm
+        d_off = 1.0 / norm[..., 0]
     pd_nbr = jnp.abs(jnp.einsum("qki,qi->qk", nbrs, normal) + d_off[:, None])
     plane_ok = jnp.all(pd_nbr <= cfg.plane_tol, axis=-1)
 

@@ -139,9 +139,24 @@ class LiliOmSystem:
         if sl is None:
             return flat_pts
         dts, _, gyrs = sl
-        q_scan = integrate_gyro(jnp.asarray(dts, self.dtype),
-                                jnp.asarray(gyrs, self.dtype))
-        t_scan = (jnp.asarray(-self._last_rel_t, self.dtype)
+        # fixed-capacity padding: a distinct sample count per scan would
+        # otherwise retrace integrate_gyro every frame
+        cap = 64
+        n = min(len(dts), cap)
+        np_dtype = np.dtype(jnp.zeros(0, self.dtype).dtype.name)
+        dts_np = np.zeros((cap,), np_dtype)
+        gyrs_np = np.zeros((cap, 3), np_dtype)
+        mask_np = np.zeros((cap,), bool)
+        dts_np[:n] = dts[:n]
+        gyrs_np[:n] = gyrs[:n]
+        mask_np[:n] = True
+        q_scan = integrate_gyro(jnp.asarray(dts_np), jnp.asarray(gyrs_np),
+                                jnp.asarray(mask_np))
+        # p₀ = R₀ₛ·pₛ + s·t_rel: the sensor advanced by s·t_rel (body frame)
+        # when the point was measured, so the start-frame coordinates ADD the
+        # constant-velocity translation (sign matters: −t_rel doubles the
+        # distortion instead of removing it)
+        t_scan = (jnp.asarray(self._last_rel_t, self.dtype)
                   if self.deskew_translation else None)
         return undistort(flat_pts, rel_flat, q_scan, t_scan=t_scan)
 

@@ -156,3 +156,21 @@ def test_undistort_recovers_static_geometry():
     err_und = np.abs(und_w[floor, 2] + 1.5)
     err_raw = np.abs(raw_w[floor, 2] + 1.5)
     assert np.median(err_und) < 0.2 * np.median(err_raw)
+
+
+class TestTranslationDeskew:
+    def test_deskew_recovers_static_world(self):
+        """A sensor moving at constant velocity scans a fixed world point at
+        time fraction s: the measured sensor-frame point is p_s = x − s·v·T.
+        Deskew with t_scan = +v·T must recover the scan-start coordinates."""
+        import jax.numpy as jnp
+
+        from lili_om_tpu.ops.features_spin import undistort
+
+        v_T = jnp.array([0.3, 0.1, 0.0])  # motion over one sweep (body frame)
+        x0 = jnp.array([[10.0, 2.0, 1.0], [5.0, -3.0, 0.5]])  # start-frame coords
+        s = jnp.array([0.25, 0.8])
+        measured = x0 - s[:, None] * v_T[None, :]  # no rotation in this test
+        q_id = jnp.array([1.0, 0.0, 0.0, 0.0])
+        out = undistort(measured, s, q_id, t_scan=v_T)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-7)
