@@ -97,7 +97,6 @@ def imu_factor_analytic(p: Preint, noise: ImuNoise,
         quat_conj,
         quat_left_matrix,
         quat_right_matrix,
-        quat_rotate,
         quat_to_rotmat,
     )
 

@@ -15,7 +15,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..utils.math import quat_conj, quat_mul, quat_normalize
+from ..utils.math import quat_conj, quat_mul
 
 
 class MarginalPrior(NamedTuple):

@@ -89,8 +89,6 @@ def record_synthetic(path: str, n_frames: int = 50, variant: str = "rot",
                      imu_rate: float = 200.0, seed: int = 0):
     """Record a synthetic dataset into a .lom log (the data-side counterpart
     of the reference's hosted rosbags)."""
-    import jax.numpy as jnp
-
     from ..sim.lidar import livox_pattern, simulate_scan, spinning_pattern
     from ..sim.trajectory import circle_trajectory, simulate_imu
     from ..sim.world import make_room_world

@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.preintegration import ImuNoise, propagate_world
+from ..ops.preintegration import ImuNoise
 from ..models.pose_graph import _between_block
 from ..solver.gn import solve_normal
 from ..utils.math import exp_so3, pose_relative, quat_mul, quat_normalize

@@ -12,14 +12,12 @@ Host responsibilities are sequencing and the unbounded keyframe archive
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.fusion import FusionConfig, FusionState, fusion_step, init_fusion_state
+from ..models.fusion import FusionConfig, fusion_step, init_fusion_state
 from ..models.odometry import OdometryConfig, init_state as init_odo_state, odometry_step
-from ..models.pose_graph import PoseGraph, add_loop, add_node, init_graph, optimize_graph
+from ..models.pose_graph import add_loop, add_node, init_graph, optimize_graph
 from ..ops.features_livox import (
     LivoxFeatureConfig,
     bin_livox_image,
@@ -29,7 +27,7 @@ from ..ops.features_spin import SpinFeatureConfig, extract_features_spin, integr
 from ..ops.icp import icp_point_to_plane
 from ..ops.preintegration import ImuNoise
 from ..ops.voxel import pad_cloud, voxel_downsample
-from ..utils.math import pose_relative, quat_mul, quat_normalize, quat_rotate, quat_conj
+from ..utils.math import pose_relative, quat_mul, quat_normalize, quat_rotate
 from ..utils.metrics import StageMetrics
 
 
@@ -267,7 +265,10 @@ class LiliOmSystem:
         self.kf_stamps.append(stamp)
         self.kf_positions.append(np.asarray(fout.t_latest))
         # archive the (already frontend-downsampled) surf cloud for submaps
-        self.kf_clouds.append(np.asarray(sp[np.asarray(sm)]))
+        # transfer once, mask in numpy: boolean indexing on the device array
+        # would trace a fresh dynamic-shape gather per keyframe (a new
+        # compile every call on remote-attached backends)
+        self.kf_clouds.append(np.asarray(sp)[np.asarray(sm)])
 
     # ------------------------------------------------------------------
     # loop-closure path (call at ~1 Hz, detectLoopClosure :2423-2550)
