@@ -1,0 +1,64 @@
+"""Async pipeline runner: threaded feeds, bounded-queue drops, mutex
+discipline with the loop-closure thread."""
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lili_om_tpu.models.fusion import FusionConfig
+from lili_om_tpu.models.odometry import OdometryConfig
+from lili_om_tpu.models.system import LiliOmSystem, LoopClosureConfig
+from lili_om_tpu.ops.features_spin import SpinFeatureConfig
+from lili_om_tpu.runtime.pipeline import PipelineRunner
+from lili_om_tpu.sim.lidar import simulate_scan, spinning_pattern
+from lili_om_tpu.sim.trajectory import circle_trajectory, simulate_imu
+from lili_om_tpu.sim.world import make_room_world
+
+R, C, PERIOD = 16, 360, 0.1
+
+
+def tiny_system():
+    return LiliOmSystem(
+        odo_cfg=OdometryConfig(n_recent_frames=4, scan_cap=1024, query_cap=256, map_cap=2048),
+        fusion_cfg=FusionConfig(window=3, local_map_width=4, kf_surf_cap=1024,
+                                kf_edge_cap=256, map_surf_cap=2048, map_edge_cap=512,
+                                use_reflectivity=False, max_num_iter=2, imu_cap=32),
+        feat_cfg=SpinFeatureConfig(surf_cap=1024),
+        lc_cfg=LoopClosureConfig(enabled=True, time_thres=1e9),  # detection runs, never fires
+        graph_capacity=32, dtype=jnp.float64,
+    )
+
+
+class TestPipelineRunner:
+    def test_threaded_run_processes_all(self):
+        world = make_room_world()
+        traj = circle_trajectory(radius=8.0, period=40.0)
+        pattern = spinning_pattern(n_rings=R, n_cols=C)
+        sys_ = tiny_system()
+        runner = PipelineRunner(sys_, queue_size=16, loop_period_s=0.2)
+        imu = simulate_imu(traj, 0.0, 8 * PERIOD, rate=200.0)
+        runner.feed_imu(np.asarray(imu.stamps), np.asarray(imu.accs), np.asarray(imu.gyrs))
+        runner.start()
+        for k in range(6):
+            ts = k * PERIOD
+            scan = simulate_scan(world, traj, ts, pattern, period=PERIOD)
+            runner.feed_scan(np.asarray(scan.pts).reshape(R, C, 3),
+                             np.asarray(scan.valid).reshape(R, C),
+                             np.asarray(scan.rel_time).reshape(R, C), ts)
+        runner.stop(drain=True)
+        assert runner.n_processed == 6
+        assert sys_.n_frames == 6
+        assert len(sys_.kf_stamps) >= 2
+
+    def test_bounded_queue_drops(self):
+        sys_ = tiny_system()
+        runner = PipelineRunner(sys_, queue_size=2)
+        # no worker started: queue fills, drops oldest
+        z = np.zeros((R, C, 3))
+        v = np.zeros((R, C), bool)
+        r = np.zeros((R, C))
+        for k in range(5):
+            runner.feed_scan(z, v, r, 0.1 * k)
+        assert runner.n_dropped == 3
+        assert runner._scans.qsize() == 2
