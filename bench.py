@@ -22,7 +22,6 @@ from lili_om_tpu.models.fusion import FusionConfig, fusion_step, init_fusion_sta
 from lili_om_tpu.models.odometry import OdometryConfig, init_state, odometry_step
 from lili_om_tpu.ops.features_spin import SpinFeatureConfig, extract_features_spin
 from lili_om_tpu.ops.preintegration import ImuNoise
-from lili_om_tpu.ops.voxel import pad_cloud
 from lili_om_tpu.sim.lidar import simulate_scan, spinning_pattern
 from lili_om_tpu.sim.trajectory import circle_trajectory, simulate_imu
 from lili_om_tpu.sim.world import make_room_world
@@ -38,7 +37,7 @@ def main():
     pattern = spinning_pattern(n_rings=R, n_cols=C)
     fcfg = SpinFeatureConfig(surf_cap=4096)
     ocfg = OdometryConfig(n_recent_frames=10, scan_cap=4096, query_cap=1024, map_cap=16384)
-    bcfg = FusionConfig(window=3, local_map_width=20, kf_surf_cap=4096, kf_edge_cap=1024,
+    bcfg = FusionConfig(window=3, local_map_width=20, kf_surf_cap=2048, kf_edge_cap=1024,
                         map_surf_cap=32768, map_edge_cap=4096, use_reflectivity=False,
                         weight_gate=0.3, lidar_const=7.5, max_num_iter=6, imu_cap=32)
     noise = ImuNoise()
@@ -66,10 +65,9 @@ def main():
     def frame(ostate, fstate, img, valid, rel, dts, accs, gyrs, vm, warmup=False):
         fc = extract_features_spin(img, valid, rel, fcfg)
         ostate, out = odometry_step(ostate, fc.surf_pts, fc.surf_mask, ocfg)
-        ep, em = pad_cloud(fc.edge_pts, fc.edge_mask, bcfg.kf_edge_cap)
         fstate, fout = fusion_step(
             fstate, fc.surf_pts, fc.surf_mask, jnp.zeros_like(fc.surf_pts[:, 0]),
-            ep, em, dts, accs, gyrs, vm, bcfg, noise, warmup=warmup)
+            fc.edge_pts, fc.edge_mask, dts, accs, gyrs, vm, bcfg, noise, warmup=warmup)
         return ostate, fstate, fout
 
     for k in range(N_WARM):

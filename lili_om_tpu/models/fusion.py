@@ -66,7 +66,7 @@ class FusionConfig(NamedTuple):
 
     window: int = 3  # slide_window_width
     local_map_width: int = 40
-    kf_surf_cap: int = 4096  # stored surf points per keyframe
+    kf_surf_cap: int = 2048  # stored surf points per keyframe (post 0.4-voxel)
     kf_edge_cap: int = 1024  # stored edge points per keyframe
     map_surf_cap: int = 32768
     map_edge_cap: int = 8192
@@ -422,13 +422,22 @@ def fusion_step(
         jnp.sum(map_edge_mask.astype(jnp.int32)) > 0
     )  # (:936)
 
-    # --- D: insert incoming keyframe into the ring buffer ---
+    # --- D: insert incoming keyframe into the ring buffer, voxel-downsampled
+    # in the sensor frame (the reference stores surf_lasts_ds/edge_lasts_ds,
+    # its 0.4/0.2-leaf per-keyframe clouds — downSampleCloud :1486-1528).
+    # Input capacities may exceed the storage capacities; the downsample is
+    # what makes the smaller fixed storage (and thus the kNN query cost)
+    # sufficient.
     wi = state.write_idx
-    hist_surf = state.hist_surf.at[wi].set(surf_pts)
-    hist_surf_mask = state.hist_surf_mask.at[wi].set(surf_mask)
-    hist_surf_refl = state.hist_surf_refl.at[wi].set(surf_refl)
-    hist_edge = state.hist_edge.at[wi].set(edge_pts)
-    hist_edge_mask = state.hist_edge_mask.at[wi].set(edge_mask)
+    sp_ds, refl_ds, sm_ds = voxel_downsample(
+        surf_pts, surf_mask, cfg.surf_leaf, cfg.kf_surf_cap,
+        feats=surf_refl[:, None])
+    ep_ds, em_ds = voxel_downsample(edge_pts, edge_mask, cfg.edge_leaf, cfg.kf_edge_cap)
+    hist_surf = state.hist_surf.at[wi].set(sp_ds)
+    hist_surf_mask = state.hist_surf_mask.at[wi].set(sm_ds)
+    hist_surf_refl = state.hist_surf_refl.at[wi].set(refl_ds[:, 0])
+    hist_edge = state.hist_edge.at[wi].set(ep_ds)
+    hist_edge_mask = state.hist_edge_mask.at[wi].set(em_ds)
     hist_valid = state.hist_valid.at[wi].set(True)
 
     # --- E: window keyframe clouds (gathered from the ring buffer) ---

@@ -213,17 +213,16 @@ class LiliOmSystem:
         return out
 
     def _on_keyframe(self, fc, stamp):
-        cfg = self.fusion_cfg
-        sp, sm = pad_cloud(fc.surf_pts, fc.surf_mask, cfg.kf_surf_cap)
-        ep, em = pad_cloud(fc.edge_pts, fc.edge_mask, cfg.kf_edge_cap)
-        self._on_keyframe_clouds(sp, sm, jnp.zeros_like(sp[:, 0]), ep, em, stamp)
+        self._on_keyframe_clouds(fc.surf_pts, fc.surf_mask,
+                                 jnp.zeros_like(fc.surf_pts[:, 0]),
+                                 fc.edge_pts, fc.edge_mask, stamp)
 
     def _on_keyframe_clouds(self, sp, sm, s_refl, ep, em, stamp):
+        # clouds pass at their native capacity; fusion_step voxel-downsamples
+        # into its storage capacities at insert
         cfg = self.fusion_cfg
-        sp, sm = pad_cloud(sp, sm, cfg.kf_surf_cap)
         if s_refl.shape[0] != sp.shape[0]:
             s_refl = jnp.zeros_like(sp[:, 0])
-        ep, em = pad_cloud(ep, em, cfg.kf_edge_cap)
         cap = cfg.imu_cap
         # IMU interval since the last keyframe (saveKeyFramesAndFactors
         # consumes imu_buf up to the keyframe stamp, :1700-1771)
