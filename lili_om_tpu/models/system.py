@@ -95,6 +95,12 @@ class LiliOmSystem:
         # for exact reference parity
         self.deskew_translation = False
         self._last_rel_t = np.zeros(3)
+        # hierarchical local pose graph (buildLocalPoseGraph): densified
+        # every-frame poses between consecutive keyframes
+        self.densify_frames = True
+        self.dense_trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self._frame_stamps: list[float] = []
+        self._prev_kf = None  # (stamp, t, q, v) of the previous keyframe
 
     # ------------------------------------------------------------------
     # IMU stream
@@ -177,6 +183,7 @@ class LiliOmSystem:
                 n_rounds=rounds)
         self.n_frames += 1
         self.trajectory.append(np.asarray(out.t))
+        self._frame_stamps.append(stamp)
         if self.deskew_translation:
             self._last_rel_t = np.asarray(out.rel_t)
 
@@ -261,6 +268,10 @@ class LiliOmSystem:
             dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm)
 
         self.graph = add_node(self.graph, fout.t_latest, fout.q_latest)
+        if self.densify_frames:
+            self._densify_interval(stamp, fout)
+        self._prev_kf = (stamp, np.asarray(fout.t_latest),
+                         np.asarray(fout.q_latest), np.asarray(fout.v_latest))
         self.kf_stamps.append(stamp)
         self.kf_positions.append(np.asarray(fout.t_latest))
         # archive the (already frontend-downsampled) surf cloud for submaps
@@ -268,6 +279,57 @@ class LiliOmSystem:
         # would trace a fresh dynamic-shape gather per keyframe (a new
         # compile every call on remote-attached backends)
         self.kf_clouds.append(np.asarray(sp)[np.asarray(sm)])
+
+    def _densify_interval(self, stamp, fout, cap: int = 8):
+        """Hierarchical local pose graph (buildLocalPoseGraph/
+        optimizeLocalGraph, :1892-2175): IMU-propagate the non-keyframe
+        frames between the previous and current keyframes, then chain-solve
+        anchored at both (optimized) keyframe poses."""
+        if self._prev_kf is None:
+            self.dense_trajectory.append(
+                (stamp, np.asarray(fout.t_latest), np.asarray(fout.q_latest)))
+            return
+        s0, t0, q0, v0 = self._prev_kf
+        mids = [f for f in self._frame_stamps if s0 < f < stamp]
+        if not mids:
+            self.dense_trajectory.append(
+                (stamp, np.asarray(fout.t_latest), np.asarray(fout.q_latest)))
+            return
+        from .local_graph import optimize_local_chain, propagate_interval
+
+        sl = self._imu_slice(s0, stamp)
+        if sl is None:
+            return
+        dts, accs, gyrs = sl
+        icap = 64
+        n = min(len(dts), icap)
+        np_dtype = np.dtype(jnp.zeros(0, self.dtype).dtype.name)
+        d = np.zeros((icap,), np_dtype); d[:n] = dts[:n]
+        a = np.zeros((icap, 3), np_dtype); a[:n] = accs[:n]
+        g = np.zeros((icap, 3), np_dtype); g[:n] = gyrs[:n]
+        vm = np.zeros((icap,), bool); vm[:n] = True
+        # sample index of each frame boundary within the IMU slice
+        stamps_abs = s0 + np.cumsum(d)
+        frames = (mids + [stamp])[:cap]
+        fidx = np.minimum(np.searchsorted(stamps_abs[:n], np.asarray(frames)),
+                          max(n - 1, 0)).astype(np.int32)
+        fmask = np.zeros((cap,), bool); fmask[:len(frames)] = True
+        fidx_a = np.zeros((cap,), np.int32); fidx_a[:len(frames)] = fidx
+        t_init, q_init = propagate_interval(
+            jnp.asarray(t0, self.dtype), jnp.asarray(q0, self.dtype),
+            jnp.asarray(v0, self.dtype),
+            jnp.asarray(d), jnp.asarray(a), jnp.asarray(g), jnp.asarray(vm),
+            jnp.asarray(fidx_a), jnp.asarray(fmask), self.noise)
+        chain = optimize_local_chain(
+            t_init, q_init, jnp.asarray(fmask),
+            jnp.asarray(t0, self.dtype), jnp.asarray(q0, self.dtype),
+            fout.t_latest, fout.q_latest, n_iters=8)
+        ct = np.asarray(chain.t)
+        cq = np.asarray(chain.q)
+        for i, f in enumerate(frames[:-1]):
+            self.dense_trajectory.append((f, ct[i], cq[i]))
+        self.dense_trajectory.append(
+            (stamp, np.asarray(fout.t_latest), np.asarray(fout.q_latest)))
 
     # ------------------------------------------------------------------
     # loop-closure path (call at ~1 Hz, detectLoopClosure :2423-2550)

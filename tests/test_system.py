@@ -162,3 +162,22 @@ class TestLoopClosure:
         # marginalization prior dropped (marg=false semantics)
         assert not bool(sys_.fusion_state.prior.valid)
         assert bool(sys_.fusion_state.sb_anchor_on)
+
+
+class TestDenseTrajectory:
+    def test_densified_frames_cover_all(self, short_run):
+        """The hierarchical local graph produces a pose for every frame up to
+        the last keyframe (buildLocalPoseGraph coverage)."""
+        sys_, _ = short_run
+        assert len(sys_.dense_trajectory) >= len(sys_.kf_stamps)
+        stamps = [s for s, _, _ in sys_.dense_trajectory]
+        assert stamps == sorted(stamps)
+        # keyframe entries carry the fusion-optimized poses
+        kf_entries = {round(s, 6): t for s, t, _ in sys_.dense_trajectory}
+        for i, ks in enumerate(sys_.kf_stamps):
+            assert round(ks, 6) in kf_entries
+        # densified intermediates stay near the frontend trajectory (loose)
+        for s, t, q in sys_.dense_trajectory:
+            k = int(round(s / PERIOD))
+            if k < len(sys_.trajectory):
+                assert np.linalg.norm(t - sys_.trajectory[k]) < 1.0
