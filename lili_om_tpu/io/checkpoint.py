@@ -45,12 +45,24 @@ def save_system(path: str, system) -> None:
     out["kf_stamps"] = np.asarray(system.kf_stamps)
     out["kf_positions"] = (np.stack(system.kf_positions)
                            if system.kf_positions else np.zeros((0, 3)))
+    out["imu_stamps"] = system._imu_stamps
+    out["imu_accs"] = system._imu_accs
+    out["imu_gyrs"] = system._imu_gyrs
     np.savez_compressed(path, **out)
     meta = {
         "n_frames": system.n_frames,
         "n_keyframes": len(system.kf_stamps),
         "last_loop_stamp": system.last_loop_stamp,
         "trajectory": [list(map(float, t)) for t in system.trajectory],
+        "frame_stamps": list(map(float, system._frame_stamps)),
+        "last_kf_stamp": system._last_kf_stamp,
+        "dense_trajectory": [
+            [float(s), list(map(float, t)), list(map(float, q))]
+            for s, t, q in system.dense_trajectory
+        ],
+        "prev_kf": (None if system._prev_kf is None else
+                    [float(system._prev_kf[0])] +
+                    [list(map(float, x)) for x in system._prev_kf[1:]]),
     }
     with open(path + ".json", "w") as f:
         json.dump(meta, f)
@@ -78,3 +90,16 @@ def load_system(path: str, system) -> None:
     system.n_frames = meta["n_frames"]
     system.last_loop_stamp = meta["last_loop_stamp"]
     system.trajectory = [np.asarray(t) for t in meta["trajectory"]]
+    system._frame_stamps = list(meta.get("frame_stamps", []))
+    system._last_kf_stamp = meta.get("last_kf_stamp")
+    system.dense_trajectory = [
+        (s, np.asarray(t), np.asarray(q))
+        for s, t, q in meta.get("dense_trajectory", [])
+    ]
+    pk = meta.get("prev_kf")
+    system._prev_kf = (None if pk is None else
+                       (pk[0], np.asarray(pk[1]), np.asarray(pk[2]), np.asarray(pk[3])))
+    if "imu_stamps" in data:
+        system._imu_stamps = data["imu_stamps"]
+        system._imu_accs = data["imu_accs"]
+        system._imu_gyrs = data["imu_gyrs"]

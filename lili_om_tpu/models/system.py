@@ -478,3 +478,34 @@ class LiliOmSystem:
             prior=fs.prior._replace(valid=jnp.zeros((), bool)),  # drop prior (:2635-2638)
             sb_anchor_on=jnp.ones((), bool),  # marg=false (:2309)
         )
+        if self._prev_kf is not None:
+            i = len(self.kf_stamps) - 1
+            self._prev_kf = (self._prev_kf[0], g_t[i], g_q[i], self._prev_kf[3])
+
+        # re-chain the densified every-frame poses by each interval's
+        # keyframe correction (correctPoses rewrites pose_each_frame from
+        # the updated estimate, :2211-2307)
+        if self.dense_trajectory:
+            from ..utils.math import quat_conj
+
+            kf_stamps = np.asarray(self.kf_stamps)
+            old_kf = {round(s, 9): (np.array(tt), np.array(qq))
+                      for s, tt, qq in self.dense_trajectory
+                      if any(abs(s - k) < 1e-9 for k in kf_stamps)}
+            new_dense = []
+            for s, tt, qq in self.dense_trajectory:
+                # owning keyframe = previous keyframe at or before this frame
+                j = int(np.searchsorted(kf_stamps, s + 1e-9) - 1)
+                j = max(0, min(j, n - 1))
+                key = round(float(kf_stamps[j]), 9)
+                if key in old_kf:
+                    t_old, q_old = old_kf[key]
+                    # ΔT = T_new ∘ T_old⁻¹ (left correction)
+                    q_new = jnp.asarray(g_q[j]); t_new = jnp.asarray(g_t[j])
+                    q_oi = quat_conj(jnp.asarray(q_old))
+                    dq = quat_normalize(quat_mul(q_new, q_oi))
+                    dt_corr = t_new - np.asarray(quat_rotate(dq, jnp.asarray(t_old)))
+                    tt = np.asarray(quat_rotate(dq, jnp.asarray(tt))) + dt_corr
+                    qq = np.asarray(quat_normalize(quat_mul(dq, jnp.asarray(qq))))
+                new_dense.append((s, tt, qq))
+            self.dense_trajectory = new_dense
