@@ -280,6 +280,40 @@ class LiliOmSystem:
         # compile every call on remote-attached backends)
         self.kf_clouds.append(np.asarray(sp)[np.asarray(sm)])
 
+    # ------------------------------------------------------------------
+    # failure detection / elastic recovery (absent in the reference,
+    # SURVEY.md §5 — its robustness is numeric gates only)
+    # ------------------------------------------------------------------
+
+    def health_check_and_recover(self) -> bool:
+        """Detect a non-finite estimator state and elastically recover:
+        re-seed the fusion window from the last finite keyframe pose while
+        keeping the map history. Returns True when a recovery happened."""
+        fs = self.fusion_state
+        bad = not (np.all(np.isfinite(np.asarray(fs.t)))
+                   and np.all(np.isfinite(np.asarray(fs.q)))
+                   and np.all(np.isfinite(np.asarray(fs.v))))
+        if not bad:
+            return False
+        # last finite keyframe pose from the host archive
+        t_seed = np.zeros(3)
+        q_seed = np.array([1.0, 0, 0, 0])
+        for i in range(len(self.kf_positions) - 1, -1, -1):
+            if np.all(np.isfinite(self.kf_positions[i])):
+                t_seed = self.kf_positions[i]
+                q_seed = np.asarray(self.graph.q[i])
+                break
+        W = self.fusion_cfg.window
+        qs = jnp.tile(jnp.asarray(q_seed, self.dtype), (W, 1))
+        ts = jnp.tile(jnp.asarray(t_seed, self.dtype), (W, 1))
+        self.fusion_state = fs._replace(
+            t=ts, q=qs, v=jnp.zeros((W, 3), self.dtype),
+            ba=jnp.zeros((W, 3), self.dtype), bg=jnp.zeros((W, 3), self.dtype),
+            prior=fs.prior._replace(valid=jnp.zeros((), bool)),
+            sb_anchor_on=jnp.ones((), bool),
+        )
+        return True
+
     def _densify_interval(self, stamp, fout, cap: int = 8):
         """Hierarchical local pose graph (buildLocalPoseGraph/
         optimizeLocalGraph, :1892-2175): IMU-propagate the non-keyframe

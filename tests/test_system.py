@@ -181,3 +181,24 @@ class TestDenseTrajectory:
             k = int(round(s / PERIOD))
             if k < len(sys_.trajectory):
                 assert np.linalg.norm(t - sys_.trajectory[k]) < 1.0
+
+
+class TestElasticRecovery:
+    def test_nan_state_recovers(self):
+        """Inject NaN into the fusion window; the watchdog must re-seed from
+        the last finite keyframe and drop the (poisoned) prior."""
+        sys_ = make_system()
+        assert not sys_.health_check_and_recover()  # healthy state: no-op
+        from lili_om_tpu.models.pose_graph import add_node
+
+        sys_.graph = add_node(sys_.graph, jnp.array([1.0, 2.0, 0.0]),
+                              jnp.array([1.0, 0, 0, 0.0]))
+        sys_.kf_positions.append(np.array([1.0, 2.0, 0.0]))
+        sys_.kf_stamps.append(0.0)
+        fs = sys_.fusion_state
+        sys_.fusion_state = fs._replace(t=fs.t.at[1, 0].set(jnp.nan))
+        assert sys_.health_check_and_recover()
+        fs2 = sys_.fusion_state
+        assert np.all(np.isfinite(np.asarray(fs2.t)))
+        np.testing.assert_allclose(np.asarray(fs2.t[0]), [1.0, 2.0, 0.0])
+        assert not bool(fs2.prior.valid)
