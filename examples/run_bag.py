@@ -1,0 +1,116 @@
+"""Run the pipeline on a real ROS1 bag — the direct migration path from the
+reference (`roslaunch lili_om run_*.launch` + `rosbag play seq.bag`,
+README.md:57-76):
+
+  python examples/run_bag.py seq.bag --preset fr_iosb_rot \
+      --lidar /velodyne_points --imu /imu/data --map out.pcd
+
+Livox bags (livox_ros_driver/CustomMsg) use the Livox extractor; PointCloud2
+bags use the spinning extractor with the ring field (or the per-sensor
+vertical-angle formulas when absent).
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bag")
+    ap.add_argument("--preset", default="fr_iosb_rot")
+    ap.add_argument("--lidar", default=None, help="lidar topic (default: auto)")
+    ap.add_argument("--imu", default=None, help="imu topic (default: auto)")
+    ap.add_argument("--map", default=None)
+    ap.add_argument("--rings", type=int, default=None)
+    ap.add_argument("--cols", type=int, default=1800)
+    ap.add_argument("--max-scans", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--internal-imu", action="store_true",
+                    help="Livox internal IMU: g→m/s² + gravity-align init")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lili_om_tpu.io.livox import convert_internal_imu
+    from lili_om_tpu.io.rosbag import ImuMsg, LivoxCustomMsg, PointCloud2Msg, read_bag
+    from lili_om_tpu.models.system import LiliOmSystem
+    from lili_om_tpu.ops.features_spin import ring_from_angle
+    from lili_om_tpu.utils.config import load_config
+
+    cfg = load_config(args.preset)
+    rings = args.rings or (64 if "64" in args.preset else 16)
+    sys_ = LiliOmSystem(
+        odo_cfg=cfg.odometry, fusion_cfg=cfg.fusion, feat_cfg=cfg.spin_features,
+        livox_cfg=cfg.livox_features, lc_cfg=cfg.loop_closure, noise=cfg.imu_noise,
+        dtype=jnp.float32,
+    )
+
+    n_scans = 0
+    t0 = time.time()
+    imu_init = []
+    for topic, msg in read_bag(args.bag):
+        if isinstance(msg, ImuMsg) and (args.imu is None or topic == args.imu):
+            acc, gyr = msg.acc, msg.gyr
+            if args.internal_imu:
+                if len(imu_init) < 3:
+                    imu_init.append(msg.acc)
+                acc, gyr, _ = convert_internal_imu(msg.acc[None], msg.gyr[None])
+                acc, gyr = acc[0], gyr[0]
+            sys_.push_imu(np.array([msg.stamp]), acc[None], gyr[None])
+        elif isinstance(msg, LivoxCustomMsg) and (args.lidar is None or topic == args.lidar):
+            period = 0.1
+            ratio = np.clip(msg.offset_time.astype(np.float32) * 1e-9 / period, 0, 0.999)
+            sys_.process_scan_livox(msg.pts, msg.line.astype(np.int32), ratio,
+                                    msg.reflectivity.astype(np.float32),
+                                    np.isfinite(msg.pts).all(axis=1), msg.stamp)
+            n_scans += 1
+        elif isinstance(msg, PointCloud2Msg) and (args.lidar is None or topic == args.lidar):
+            pts = msg.xyz()
+            finite = np.isfinite(pts).all(axis=1)
+            if "ring" in msg.fields:
+                ring = msg.field("ring").astype(np.int32)
+            else:
+                r, ok = ring_from_angle(jnp.asarray(pts, jnp.float32), rings)
+                ring = np.asarray(r)
+                finite &= np.asarray(ok)
+            az = np.arctan2(pts[:, 1], pts[:, 0])
+            rel = ((az + np.pi) / (2 * np.pi)).astype(np.float32)
+            col = np.clip((rel * args.cols).astype(np.int64), 0, args.cols - 1)
+            ring = np.clip(ring, 0, rings - 1)
+            img = np.zeros((rings, args.cols, 3), np.float32)
+            valid = np.zeros((rings, args.cols), bool)
+            relimg = np.zeros((rings, args.cols), np.float32)
+            img[ring[finite], col[finite]] = pts[finite]
+            valid[ring[finite], col[finite]] = True
+            relimg[ring[finite], col[finite]] = rel[finite]
+            sys_.process_scan(img, valid, relimg, msg.stamp)
+            n_scans += 1
+        if n_scans and n_scans % 10 == 0:
+            sys_.try_loop_closure()
+        if n_scans and n_scans % 50 == 0:
+            print(f"scan {n_scans}  kf={len(sys_.kf_stamps)}  "
+                  f"t={np.asarray(sys_.trajectory[-1]).round(2)}")
+        if args.max_scans and n_scans >= args.max_scans:
+            break
+
+    wall = time.time() - t0
+    print(f"\n{n_scans} scans, {len(sys_.kf_stamps)} keyframes, "
+          f"{int(sys_.graph.n_loops)} loop closures, {wall:.1f}s "
+          f"({n_scans/max(wall,1e-9):.1f} scans/s)")
+    print(sys_.metrics.pretty())
+    if args.map:
+        n = sys_.export_map(args.map)
+        print(f"map: {n} points -> {args.map}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

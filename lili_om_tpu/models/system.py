@@ -98,6 +98,7 @@ class LiliOmSystem:
         # hierarchical local pose graph (buildLocalPoseGraph): densified
         # every-frame poses between consecutive keyframes
         self.densify_frames = True
+        self._starved_frames = 0
         self.dense_trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self._frame_stamps: list[float] = []
         self._prev_kf = None  # (stamp, t, q, v) of the previous keyframe
@@ -186,6 +187,20 @@ class LiliOmSystem:
         self._frame_stamps.append(stamp)
         if self.deskew_translation:
             self._last_rel_t = np.asarray(out.rel_t)
+        # feature-starvation watchdog: zero correspondences for several
+        # consecutive frames means a mis-configured ring/column mapping (or a
+        # degenerate scene) — the reference only prints "Not enough feature
+        # points" (LidarOdometry.cpp:486); we make it persistent and loud
+        if int(out.n_corr) == 0 and self.n_frames > 2:
+            self._starved_frames += 1
+            if self._starved_frames in (3, 50, 500):
+                import warnings
+
+                warnings.warn(
+                    f"no surf correspondences for {self._starved_frames} frames — "
+                    "check n_cols/ring mapping and feature thresholds")
+        else:
+            self._starved_frames = 0
 
         if bool(out.is_keyframe):
             with self.metrics.stage("backend"):
@@ -445,7 +460,7 @@ class LiliOmSystem:
         by its (loop-corrected) graph pose, voxel-downsampled at ``leaf``
         (mapping_ds=0.3, config_fr_iosb.yaml:35). Returns (N,3) numpy."""
         n = len(self.kf_clouds)
-        if n == 0:
+        if n == 0 or all(len(c) == 0 for c in self.kf_clouds):
             return np.zeros((0, 3))
         g_t = np.asarray(self.graph.t[:n])
         g_q = np.asarray(self.graph.q[:n])
