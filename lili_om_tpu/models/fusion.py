@@ -175,17 +175,21 @@ def clamp_accel(accs: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _surf_correspondences(pts_b, pts_mask, refl, t_w, q_w, map_pts, map_mask, map_refl,
+def _surf_correspondences(pts_b, pw, pts_mask, refl, map_pts, map_mask, map_refl,
                           cfg: FusionConfig):
-    """Reflectivity-weighted plane correspondences for one window keyframe.
+    """Reflectivity-weighted plane correspondences (flattened over ALL window
+    keyframes: one kNN launch instead of a vmapped per-keyframe search —
+    the queries share the map, so stacking them is free parallelism).
 
     Mirrors findCorrespondingSurfFeatures (:1601-1681); all quirks kept:
     the weight normalization ``(1/Δc_j)/Σ|Δc_k|`` (:1625-1631), the
     world-origin-normed decay weight (:1655), the score
     ``lidar_const·(weight+exp(−sum_w))`` multiplying the weight-scaled
     normal (:1658-1676).
+
+    ``pts_b``: (N,3) body-frame points; ``pw``: (N,3) the same points under
+    the current per-keyframe world poses.
     """
-    pw = quat_rotate(q_w[None, :], pts_b) + t_w[None, :]
     d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
     nbrs = map_pts[idx]
     nn_ok = d2[:, cfg.k - 1] < cfg.kd_max_radius
@@ -238,11 +242,11 @@ def _surf_correspondences(pts_b, pts_mask, refl, t_w, q_w, map_pts, map_mask, ma
     )
 
 
-def _edge_correspondences(pts_b, pts_mask, t_w, q_w, map_pts, map_mask, cfg: FusionConfig):
+def _edge_correspondences(pts_b, pw, pts_mask, map_pts, map_mask, cfg: FusionConfig):
     """Line correspondences (findCorrespondingCornerFeatures :1531-1599):
     5-NN, covariance eigendecomposition, λ₂>3·λ₁ gate, virtual points at
-    centroid ± 0.1·direction; factor weight = lidar_const."""
-    pw = quat_rotate(q_w[None, :], pts_b) + t_w[None, :]
+    centroid ± 0.1·direction; factor weight = lidar_const. Flattened over
+    the window like the surf search."""
     d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
     nbrs = map_pts[idx]
     nn_ok = d2[:, cfg.k - 1] < cfg.edge_nn_gate
@@ -467,13 +471,22 @@ def fusion_step(
             mask=jnp.zeros(win_edge_b.shape[:2], bool))
         surf_batches, edge_batches = zero_plane, zero_edge
     else:
-        surf_batches = jax.vmap(
-            _surf_correspondences, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
-        )(win_surf_b, win_surf_mask, win_surf_refl, ts, qs, map_surf, map_surf_mask,
-          map_refl, cfg)
-        edge_batches = jax.vmap(
-            _edge_correspondences, in_axes=(0, 0, 0, 0, None, None, None)
-        )(win_edge_b, win_edge_mask, ts, qs, map_edge, map_edge_mask, cfg)
+        # flatten the window: (W,S,3) → (W·S,3); one kNN launch for all
+        # window keyframes (they share the map)
+        Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
+        pw_surf = (quat_rotate(qs[:, None, :], win_surf_b) + ts[:, None, :]).reshape(W * Sc, 3)
+        sb_flat = _surf_correspondences(
+            win_surf_b.reshape(W * Sc, 3), pw_surf,
+            win_surf_mask.reshape(W * Sc), win_surf_refl.reshape(W * Sc),
+            map_surf, map_surf_mask, map_refl, cfg)
+        surf_batches = PlaneFactorBatch(*[a.reshape((W, Sc) + a.shape[1:])
+                                          for a in sb_flat])
+        pw_edge = (quat_rotate(qs[:, None, :], win_edge_b) + ts[:, None, :]).reshape(W * Ec, 3)
+        eb_flat = _edge_correspondences(
+            win_edge_b.reshape(W * Ec, 3), pw_edge,
+            win_edge_mask.reshape(W * Ec), map_edge, map_edge_mask, cfg)
+        edge_batches = EdgeFactorBatch(*[a.reshape((W, Ec) + a.shape[1:])
+                                         for a in eb_flat])
     # disable lidar factors when the map is too sparse (:936, start-up)
     surf_batches = surf_batches._replace(
         mask=surf_batches.mask & enough_map,
