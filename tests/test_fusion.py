@@ -94,3 +94,51 @@ class TestBackendFusion:
         _, _, _, _, nsurf = fusion_run
         assert nsurf[0] == 0  # empty map at the first keyframe
         assert nsurf[-1] > 1000
+
+
+class TestReflectivityPath:
+    def test_livox_reflectivity_weighting(self):
+        """use_reflectivity=True (Livox variant): the sum_w/reflect_thres
+        gates and (weight+exp(−sum_w)) scores must run and produce
+        correspondences when map and scan reflectivities are consistent."""
+        world = make_room_world()
+        traj = circle_trajectory(radius=8.0, period=40.0)
+        pattern = spinning_pattern(n_rings=R, n_cols=C)
+        fcfg = SpinFeatureConfig(surf_cap=2048)
+        cfg = FusionConfig(window=3, local_map_width=6, kf_surf_cap=1024, kf_edge_cap=512,
+                           map_surf_cap=4096, map_edge_cap=1024,
+                           use_reflectivity=True, reflect_thres=15.0,
+                           lidar_const=20.0, max_num_iter=3, imu_cap=IMU_CAP)
+        noise = ImuNoise()
+        t0w, q0w = pose_at(traj, 0.0)
+        state = init_fusion_state(cfg, noise, q0=q0w, dtype=jnp.float64)
+        outs = []
+        for k in range(4):
+            ts = k * PERIOD
+            scan = simulate_scan(world, traj, ts, pattern, period=PERIOD)
+            fc = extract_features_spin(scan.pts.reshape(R, C, 3),
+                                       scan.valid.reshape(R, C),
+                                       scan.rel_time.reshape(R, C), fcfg)
+            # synthetic reflectivity channel: smooth function of position so
+            # scan and map agree (curvature = 0.1·refl packing)
+            refl = 0.1 * (5.0 + jnp.linalg.norm(fc.surf_pts, axis=1) % 7.0)
+            if k == 0:
+                dts = jnp.zeros((IMU_CAP,)); accs = jnp.zeros((IMU_CAP, 3))
+                gyrs = jnp.zeros((IMU_CAP, 3)); valid = jnp.zeros((IMU_CAP,), bool)
+            else:
+                imu = simulate_imu(traj, ts - PERIOD, ts, rate=IMU_RATE)
+                n = len(imu.stamps) - 1
+                dts = jnp.zeros((IMU_CAP,)).at[:n].set(jnp.diff(imu.stamps))
+                accs = jnp.zeros((IMU_CAP, 3)).at[:n].set(imu.accs[1:])
+                gyrs = jnp.zeros((IMU_CAP, 3)).at[:n].set(imu.gyrs[1:])
+                valid = jnp.zeros((IMU_CAP,), bool).at[:n].set(True)
+            state, out = fusion_step(
+                state, fc.surf_pts.astype(jnp.float64), fc.surf_mask, refl,
+                fc.edge_pts.astype(jnp.float64), fc.edge_mask,
+                dts, accs, gyrs, valid, cfg, noise,
+                warmup=(int(state.kf_count) + 1 < cfg.window))
+            outs.append(out)
+        assert int(outs[-1].n_surf_corr) > 200
+        assert np.all(np.isfinite(np.asarray(outs[-1].t_latest)))
+        # stored reflectivity actually flows through the ring buffer
+        assert float(jnp.abs(state.hist_surf_refl).max()) > 0
