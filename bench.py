@@ -37,8 +37,8 @@ def main():
     pattern = spinning_pattern(n_rings=R, n_cols=C)
     fcfg = SpinFeatureConfig(surf_cap=4096)
     ocfg = OdometryConfig(n_recent_frames=10, scan_cap=4096, query_cap=1024, map_cap=16384)
-    bcfg = FusionConfig(window=3, local_map_width=20, kf_surf_cap=2048, kf_edge_cap=1024,
-                        map_surf_cap=32768, map_edge_cap=4096, use_reflectivity=False,
+    bcfg = FusionConfig(window=3, local_map_width=40, kf_surf_cap=2048, kf_edge_cap=1024,
+                        map_surf_cap=32768, map_edge_cap=8192, use_reflectivity=False,
                         weight_gate=0.3, lidar_const=7.5, max_num_iter=6, imu_cap=32)
     noise = ImuNoise()
 

@@ -78,3 +78,35 @@ class TestRecordLog:
         for (k0, d0), (k1, d1) in zip(payloads, got):
             assert k0 == k1
             np.testing.assert_array_equal(d0, d1)
+
+
+class TestRingConcurrency:
+    def test_spsc_threaded_stress(self):
+        """Single-producer single-consumer hammering: every record that was
+        accepted must come out exactly once, in order."""
+        import threading
+
+        r = native.Ring(record_size=8, capacity=64)
+        N = 20000
+        sent = []
+        got = []
+
+        def producer():
+            i = 0
+            while i < N:
+                rec = np.frombuffer(np.uint64(i).tobytes(), np.uint8).copy()
+                if r.push(rec):
+                    sent.append(i)
+                    i += 1
+
+        def consumer():
+            while len(got) < N:
+                rec = r.pop()
+                if rec is not None:
+                    got.append(int(np.frombuffer(rec.tobytes(), np.uint64)[0]))
+
+        tp = threading.Thread(target=producer)
+        tc = threading.Thread(target=consumer)
+        tp.start(); tc.start()
+        tp.join(timeout=60); tc.join(timeout=60)
+        assert got == list(range(N))
