@@ -12,6 +12,9 @@ Host responsibilities are sequencing and the unbounded keyframe archive
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +32,18 @@ from ..ops.preintegration import ImuNoise
 from ..ops.voxel import pad_cloud, voxel_downsample
 from ..utils.math import pose_relative, quat_mul, quat_normalize, quat_rotate
 from ..utils.metrics import StageMetrics
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _preprocess_spin(img, valid, rel_time, dts, gyrs, imu_mask, t_scan,
+                     cfg: SpinFeatureConfig):
+    """Fused undistortion + feature extraction — one device dispatch per
+    frame instead of a chain of eager reshape/undistort hops (each eager op
+    is an RPC on remote-attached runtimes)."""
+    q_scan = integrate_gyro(dts, gyrs, imu_mask)
+    flat = undistort(img.reshape(-1, 3), rel_time.reshape(-1), q_scan,
+                     t_scan=t_scan)
+    return extract_features_spin(flat.reshape(img.shape), valid, rel_time, cfg)
 
 
 @dataclasses.dataclass
@@ -136,31 +151,29 @@ class LiliOmSystem:
     # per-scan path
     # ------------------------------------------------------------------
 
-    def _undistort_with_buffer(self, flat_pts, rel_flat, stamp):
-        """Gyro undistortion over [stamp, stamp+period] from the IMU buffer
-        (Preprocessing::processIMU, :129-171); optional linear translation
-        deskew from the last relative motion."""
-        sl = self._imu_slice(stamp, stamp + self.scan_period)
-        if sl is None:
-            return flat_pts
-        dts, _, gyrs = sl
-        # fixed-capacity padding: a distinct sample count per scan would
-        # otherwise retrace integrate_gyro every frame
-        cap = 64
-        n = min(len(dts), cap)
+    def _gyro_slice_padded(self, stamp, cap: int = 64):
+        """Fixed-capacity (dts, gyrs, mask) over the sweep [stamp,
+        stamp+period] — constant shapes so the fused preprocess program
+        compiles once (Preprocessing::processIMU semantics, :129-171)."""
         np_dtype = np.dtype(jnp.zeros(0, self.dtype).dtype.name)
         dts_np = np.zeros((cap,), np_dtype)
         gyrs_np = np.zeros((cap, 3), np_dtype)
         mask_np = np.zeros((cap,), bool)
-        dts_np[:n] = dts[:n]
-        gyrs_np[:n] = gyrs[:n]
-        mask_np[:n] = True
-        q_scan = integrate_gyro(jnp.asarray(dts_np), jnp.asarray(gyrs_np),
-                                jnp.asarray(mask_np))
-        # p₀ = R₀ₛ·pₛ + s·t_rel: the sensor advanced by s·t_rel (body frame)
-        # when the point was measured, so the start-frame coordinates ADD the
-        # constant-velocity translation (sign matters: −t_rel doubles the
-        # distortion instead of removing it)
+        sl = self._imu_slice(stamp, stamp + self.scan_period)
+        if sl is not None:
+            dts, _, gyrs = sl
+            n = min(len(dts), cap)
+            dts_np[:n] = dts[:n]
+            gyrs_np[:n] = gyrs[:n]
+            mask_np[:n] = True
+        return jnp.asarray(dts_np), jnp.asarray(gyrs_np), jnp.asarray(mask_np)
+
+    def _undistort_with_buffer(self, flat_pts, rel_flat, stamp):
+        """Gyro undistortion (+ optional translation deskew: p₀ = R₀ₛ·pₛ +
+        s·t_rel — the sensor advanced by s·t_rel when the point was
+        measured; −t_rel would double the distortion) for the Livox path."""
+        dts, gyrs, imu_mask = self._gyro_slice_padded(stamp)
+        q_scan = integrate_gyro(dts, gyrs, imu_mask)
         t_scan = (jnp.asarray(self._last_rel_t, self.dtype)
                   if self.deskew_translation else None)
         return undistort(flat_pts, rel_flat, q_scan, t_scan=t_scan)
@@ -173,9 +186,12 @@ class LiliOmSystem:
         img = jnp.asarray(img, self.dtype)
         rel_time = jnp.asarray(rel_time, self.dtype)
         with self.metrics.stage("preprocess"):
-            flat = self._undistort_with_buffer(img.reshape(-1, 3), rel_time.reshape(-1), stamp)
-            img = flat.reshape(img.shape)
-            fc = extract_features_spin(img, valid, rel_time, self.feat_cfg)
+            dts, gyrs, imu_mask = self._gyro_slice_padded(stamp)
+            t_scan = jnp.asarray(
+                self._last_rel_t if self.deskew_translation else np.zeros(3),
+                self.dtype)
+            fc = _preprocess_spin(img, jnp.asarray(valid), rel_time,
+                                  dts, gyrs, imu_mask, t_scan, self.feat_cfg)
         with self.metrics.stage("odometry"):
             # 8 bootstrap rounds for the first two frames (:500-504)
             rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
@@ -183,15 +199,22 @@ class LiliOmSystem:
                 self.odo_state, fc.surf_pts, fc.surf_mask, self.odo_cfg,
                 n_rounds=rounds)
         self.n_frames += 1
-        self.trajectory.append(np.asarray(out.t))
+        # ONE host transfer for everything this frame's control flow needs
+        summary = np.asarray(jnp.concatenate([
+            out.t, out.rel_t,
+            jnp.stack([out.is_keyframe.astype(self.dtype),
+                       out.n_corr.astype(self.dtype)]),
+        ]))
+        out = out._replace(is_keyframe=bool(summary[6] > 0.5))
+        self.trajectory.append(summary[0:3])
         self._frame_stamps.append(stamp)
         if self.deskew_translation:
-            self._last_rel_t = np.asarray(out.rel_t)
+            self._last_rel_t = summary[3:6]
         # feature-starvation watchdog: zero correspondences for several
         # consecutive frames means a mis-configured ring/column mapping (or a
         # degenerate scene) — the reference only prints "Not enough feature
         # points" (LidarOdometry.cpp:486); we make it persistent and loud
-        if int(out.n_corr) == 0 and self.n_frames > 2:
+        if int(summary[7]) == 0 and self.n_frames > 2:
             self._starved_frames += 1
             if self._starved_frames in (3, 50, 500):
                 import warnings
@@ -202,7 +225,7 @@ class LiliOmSystem:
         else:
             self._starved_frames = 0
 
-        if bool(out.is_keyframe):
+        if out.is_keyframe:
             with self.metrics.stage("backend"):
                 self._on_keyframe(fc, stamp)
         return out
