@@ -40,8 +40,8 @@ def save_system(path: str, system) -> None:
     _flatten("odo", system.odo_state, out)
     _flatten("fusion", system.fusion_state, out)
     _flatten("graph", system.graph, out)
-    for i, c in enumerate(system.kf_clouds):
-        out[f"kf_cloud__{i}"] = c
+    for i in range(len(system.kf_clouds)):
+        out[f"kf_cloud__{i}"] = system._kf_cloud_np(i)
     out["kf_stamps"] = np.asarray(system.kf_stamps)
     out["kf_positions"] = (np.stack(system.kf_positions)
                            if system.kf_positions else np.zeros((0, 3)))

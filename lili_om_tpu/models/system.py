@@ -117,6 +117,7 @@ class LiliOmSystem:
         self.dense_trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self._frame_stamps: list[float] = []
         self._prev_kf = None  # (stamp, t, q, v) of the previous keyframe
+        self._kf_count_host = 0  # mirrors fusion_state.kf_count (no sync)
 
     # ------------------------------------------------------------------
     # IMU stream
@@ -300,23 +301,33 @@ class LiliOmSystem:
         dts, accs, gyrs, vmask = (jnp.asarray(dts_np), jnp.asarray(accs_np),
                                   jnp.asarray(gyrs_np), jnp.asarray(vmask_np))
 
-        warm = int(self.fusion_state.kf_count) + 1 < cfg.window
+        warm = self._kf_count_host + 1 < cfg.window
+        self._kf_count_host += 1
         self.fusion_state, fout = fusion_step(
             self.fusion_state, sp, sm, s_refl, ep, em,
             dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm)
 
         self.graph = add_node(self.graph, fout.t_latest, fout.q_latest)
+        # ONE host transfer for this keyframe's control state
+        ksum = np.asarray(jnp.concatenate([fout.t_latest, fout.q_latest,
+                                           fout.v_latest]))
         if self.densify_frames:
             self._densify_interval(stamp, fout)
-        self._prev_kf = (stamp, np.asarray(fout.t_latest),
-                         np.asarray(fout.q_latest), np.asarray(fout.v_latest))
+        self._prev_kf = (stamp, ksum[0:3], ksum[3:7], ksum[7:10])
         self.kf_stamps.append(stamp)
-        self.kf_positions.append(np.asarray(fout.t_latest))
-        # archive the (already frontend-downsampled) surf cloud for submaps
-        # transfer once, mask in numpy: boolean indexing on the device array
-        # would trace a fresh dynamic-shape gather per keyframe (a new
-        # compile every call on remote-attached backends)
-        self.kf_clouds.append(np.asarray(sp)[np.asarray(sm)])
+        self.kf_positions.append(ksum[0:3])
+        # archive lazily: keep the DEVICE arrays (no transfer on the hot
+        # path); materialize to numpy on first use (loop closure / export)
+        self.kf_clouds.append((sp, sm))
+
+    def _kf_cloud_np(self, i: int) -> np.ndarray:
+        """Materialize archived keyframe cloud i (lazy device→host)."""
+        c = self.kf_clouds[i]
+        if isinstance(c, tuple):
+            sp, sm = c
+            c = np.asarray(sp)[np.asarray(sm)]
+            self.kf_clouds[i] = c
+        return c
 
     # ------------------------------------------------------------------
     # failure detection / elastic recovery (absent in the reference,
@@ -459,7 +470,7 @@ class LiliOmSystem:
         hi = min(len(self.kf_clouds), center + width + 1)
         pts = []
         for i in range(lo, hi):
-            c = self.kf_clouds[i]
+            c = self._kf_cloud_np(i)
             if len(c) == 0:
                 continue
             R_q = jnp.asarray(g_q[i], self.dtype)
@@ -483,18 +494,21 @@ class LiliOmSystem:
         by its (loop-corrected) graph pose, voxel-downsampled at ``leaf``
         (mapping_ds=0.3, config_fr_iosb.yaml:35). Returns (N,3) numpy."""
         n = len(self.kf_clouds)
-        if n == 0 or all(len(c) == 0 for c in self.kf_clouds):
+        if n == 0:
             return np.zeros((0, 3))
         g_t = np.asarray(self.graph.t[:n])
         g_q = np.asarray(self.graph.q[:n])
         parts = []
         for i in range(n):
-            c = self.kf_clouds[i]
+            c = self._kf_cloud_np(i)
             if len(c) == 0:
                 continue
+
             w = quat_rotate(jnp.broadcast_to(jnp.asarray(g_q[i], self.dtype), (c.shape[0], 4)),
                             jnp.asarray(c, self.dtype)) + jnp.asarray(g_t[i], self.dtype)
             parts.append(np.asarray(w))
+        if not parts:
+            return np.zeros((0, 3))
         allp = jnp.asarray(np.concatenate(parts), self.dtype)
         out, mask = voxel_downsample(allp, jnp.ones(allp.shape[0], bool), leaf, cap)
         return np.asarray(out[np.asarray(mask)])

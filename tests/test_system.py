@@ -76,7 +76,10 @@ class TestSystemWiring:
     def test_archive_consistency(self, short_run):
         sys_, _ = short_run
         assert len(sys_.kf_clouds) == len(sys_.kf_stamps) == len(sys_.kf_positions)
-        assert all(c.ndim == 2 and c.shape[1] == 3 for c in sys_.kf_clouds)
+        # archives are lazy (device refs) until first use
+        for i in range(len(sys_.kf_clouds)):
+            c = sys_._kf_cloud_np(i)
+            assert c.ndim == 2 and c.shape[1] == 3 and len(c) > 0
 
     def test_no_loop_closure_on_short_run(self, short_run):
         sys_, _ = short_run
