@@ -308,14 +308,13 @@ class LiliOmSystem:
             dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm)
 
         self.graph = add_node(self.graph, fout.t_latest, fout.q_latest)
-        # ONE host transfer for this keyframe's control state
-        ksum = np.asarray(jnp.concatenate([fout.t_latest, fout.q_latest,
-                                           fout.v_latest]))
         if self.densify_frames:
             self._densify_interval(stamp, fout)
-        self._prev_kf = (stamp, ksum[0:3], ksum[3:7], ksum[7:10])
+        # keep device references — nothing on the per-keyframe hot path
+        # forces a host round-trip; consumers materialize on demand
+        self._prev_kf = (stamp, fout.t_latest, fout.q_latest, fout.v_latest)
         self.kf_stamps.append(stamp)
-        self.kf_positions.append(ksum[0:3])
+        self.kf_positions.append(fout.t_latest)
         # archive lazily: keep the DEVICE arrays (no transfer on the hot
         # path); materialize to numpy on first use (loop closure / export)
         self.kf_clouds.append((sp, sm))
@@ -348,8 +347,8 @@ class LiliOmSystem:
         t_seed = np.zeros(3)
         q_seed = np.array([1.0, 0, 0, 0])
         for i in range(len(self.kf_positions) - 1, -1, -1):
-            if np.all(np.isfinite(self.kf_positions[i])):
-                t_seed = self.kf_positions[i]
+            if np.all(np.isfinite(np.asarray(self.kf_positions[i]))):
+                t_seed = np.asarray(self.kf_positions[i])
                 q_seed = np.asarray(self.graph.q[i])
                 break
         W = self.fusion_cfg.window
@@ -407,12 +406,16 @@ class LiliOmSystem:
             t_init, q_init, jnp.asarray(fmask),
             jnp.asarray(t0, self.dtype), jnp.asarray(q0, self.dtype),
             fout.t_latest, fout.q_latest, n_iters=8)
-        ct = np.asarray(chain.t)
-        cq = np.asarray(chain.q)
+        packed = np.asarray(jnp.concatenate(
+            [chain.t.reshape(-1), chain.q.reshape(-1),
+             fout.t_latest, fout.q_latest]))  # one transfer
+        F = chain.t.shape[0]
+        ct = packed[:3 * F].reshape(F, 3)
+        cq = packed[3 * F:7 * F].reshape(F, 4)
         for i, f in enumerate(frames[:-1]):
             self.dense_trajectory.append((f, ct[i], cq[i]))
-        self.dense_trajectory.append(
-            (stamp, np.asarray(fout.t_latest), np.asarray(fout.q_latest)))
+        self.dense_trajectory.append((stamp, packed[7 * F:7 * F + 3],
+                                      packed[7 * F + 3:7 * F + 7]))
 
     # ------------------------------------------------------------------
     # loop-closure path (call at ~1 Hz, detectLoopClosure :2423-2550)
@@ -538,6 +541,8 @@ class LiliOmSystem:
         g_t = np.asarray(self.graph.t[:n])
         g_q = np.asarray(self.graph.q[:n])
         self.kf_positions = [g_t[i] for i in range(n)]
+        if self._prev_kf is not None:
+            pass  # updated below with graph-corrected values
 
         fs = self.fusion_state
         cfg = self.fusion_cfg
