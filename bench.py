@@ -71,9 +71,10 @@ def main():
         return ostate, fstate, fout
 
     for k in range(N_WARM):
-        # first window-1 keyframes run the warmup program (:833)
-        ostate, fstate, fout = frame(ostate, fstate, *scans[k],
-                                     warmup=(k + 1 < bcfg.window))
+        # the main fusion program handles an unfilled window gracefully
+        # (no correspondences -> prior+IMU only), so the bench compiles ONE
+        # fusion variant instead of warmup+main (halves driver compile time)
+        ostate, fstate, fout = frame(ostate, fstate, *scans[k])
     fout.t_latest.block_until_ready()
 
     t0 = time.perf_counter()
