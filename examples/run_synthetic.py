@@ -70,7 +70,9 @@ def main():
             fcfg,
         )
         t1 = time.time()
-        state, out = odometry_step(state, fc.surf_pts, fc.surf_mask, ocfg)
+        rounds = ocfg.max_rounds if k < 2 else ocfg.scan_match_cnt
+        state, out = odometry_step(state, fc.surf_pts, fc.surf_mask, ocfg,
+                                   n_rounds=rounds)
         out.t.block_until_ready()
         if k >= 2:  # skip compile frames
             odo_time += time.time() - t1
