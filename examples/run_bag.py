@@ -56,14 +56,24 @@ def main():
     n_scans = 0
     t0 = time.time()
     imu_init = []
+    q0_seeded = False
     for topic, msg in read_bag(args.bag):
         if isinstance(msg, ImuMsg) and (args.imu is None or topic == args.imu):
             acc, gyr = msg.acc, msg.gyr
             if args.internal_imu:
-                if len(imu_init) < 3:
-                    imu_init.append(msg.acc)
-                acc, gyr, _ = convert_internal_imu(msg.acc[None], msg.gyr[None])
+                imu_init.append(msg.acc)
+                acc, gyr, q_grav = convert_internal_imu(msg.acc[None], msg.gyr[None])
                 acc, gyr = acc[0], gyr[0]
+                # gravity-aligned init, averaged over the first 3 samples
+                # (InternalImuUnitConverter.py:34-58)
+                if not q0_seeded and len(imu_init) == 3:
+                    _, _, q_grav = convert_internal_imu(
+                        np.stack(imu_init), np.zeros((3, 3)))
+                    q0_seeded = sys_.set_initial_orientation(q_grav)
+            elif not q0_seeded:
+                # first IMU message's orientation quaternion seeds R₀
+                # (imuHandler, BackendFusion.cpp:624-665)
+                q0_seeded = sys_.set_initial_orientation(msg.orientation)
             sys_.push_imu(np.array([msg.stamp]), acc[None], gyr[None])
         elif isinstance(msg, LivoxCustomMsg) and (args.lidar is None or topic == args.lidar):
             period = 0.1

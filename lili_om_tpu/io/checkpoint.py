@@ -63,6 +63,12 @@ def save_system(path: str, system) -> None:
         "prev_kf": (None if system._prev_kf is None else
                     [float(system._prev_kf[0])] +
                     [list(map(float, x)) for x in system._prev_kf[1:]]),
+        # host mirrors of device counters — without these, resume re-enters
+        # the warmup path (fusion_step(warmup=True) skips correspondences and
+        # marginalization for the first window-1 post-resume keyframes)
+        "kf_count_host": int(system._kf_count_host),
+        "starved_frames": int(system._starved_frames),
+        "last_rel_t": list(map(float, system._last_rel_t)),
     }
     with open(path + ".json", "w") as f:
         json.dump(meta, f)
@@ -99,6 +105,10 @@ def load_system(path: str, system) -> None:
     pk = meta.get("prev_kf")
     system._prev_kf = (None if pk is None else
                        (pk[0], np.asarray(pk[1]), np.asarray(pk[2]), np.asarray(pk[3])))
+    system._kf_count_host = int(meta.get("kf_count_host",
+                                         system.fusion_state.kf_count))
+    system._starved_frames = int(meta.get("starved_frames", 0))
+    system._last_rel_t = np.asarray(meta.get("last_rel_t", [0.0, 0.0, 0.0]))
     if "imu_stamps" in data:
         system._imu_stamps = data["imu_stamps"]
         system._imu_accs = data["imu_accs"]

@@ -83,6 +83,9 @@ class FusionConfig(NamedTuple):
     max_num_iter: int = 10  # GN iterations (Ceres max_num_iter=15 cap)
     use_reflectivity: bool = True  # Livox variant; False → ROT plain fit
     weight_gate: float = 0.2  # surf weight keep gate (0.3 in ROT :1464-1521)
+    # speed-bias prior component weights: uniform 15 Livox
+    # (PriorFactor.h:13-25); (8,8,1,…) ROT (LiLi-OM-ROT PriorFactor.h)
+    sb_weights: tuple = (15.0,) * 9
     damping: float = 1e-6
     # "centered": covariance plane fit (f32-stable); "ref": the reference's
     # origin-dependent weighted A·n=−1 form (see models/odometry.py note)
@@ -274,10 +277,19 @@ def _edge_correspondences(pts_b, pw, pts_mask, map_pts, map_mask, cfg: FusionCon
 
 
 def _assemble(ts, qs, vs, bas, bgs, preints, preint_Ws, prior, sb_on, sb_anchor,
-              surf_batches, edge_batches, noise, cfg: FusionConfig):
+              surf_batches, edge_batches, noise, cfg: FusionConfig,
+              imu_first_only: bool = False):
     """Build (H, g) of the full-window GN system (D = 15·W) at the given
     states. g uses the +ΣJᵀr sign convention (as the reference's
-    marginalization does, MarginalizationFactor.cpp:151-174)."""
+    marginalization does, MarginalizationFactor.cpp:151-174).
+
+    ``imu_first_only``: restrict the IMU factors to the 0→1 interval — the
+    marginalization problem includes ONLY that IMU factor (the one touching
+    the exiting keyframe, BackendFusion.cpp:1069-1082), while prior,
+    speed-bias priors, and the lidar factors of *all* window frames are
+    included (:1031-1066, :1087-1147, drop-set on frame-0 blocks only).
+    Folding the other IMU factors in would double-count them when they are
+    re-added to the next window solve."""
     W = cfg.window
     D = 15 * W
     dtype = ts.dtype
@@ -293,14 +305,17 @@ def _assemble(ts, qs, vs, bas, bgs, preints, preint_Ws, prior, sb_on, sb_anchor,
     # speed-bias priors (post-loop re-anchoring, :892-904)
     v0a, ba0a, bg0a = sb_anchor
     on = sb_on.astype(dtype)
+    sbw = jnp.asarray(cfg.sb_weights, dtype)
     for i in range(W - 1):
-        rsb, Jsb = speed_bias_prior(vs[i], bas[i], bgs[i], v0a[i], ba0a[i], bg0a[i])
+        rsb, Jsb = speed_bias_prior(vs[i], bas[i], bgs[i], v0a[i], ba0a[i], bg0a[i],
+                                    weights=sbw)
         o = 15 * i + 6
         H = H.at[o:o + 9, o:o + 9].add(on * (Jsb.T @ Jsb))
         g = g.at[o:o + 9].add(on * (Jsb.T @ rsb))
 
-    # IMU factors between consecutive keyframes (:906-917)
-    for i in range(W - 1):
+    # IMU factors between consecutive keyframes (:906-917); only 0→1 when
+    # assembling the marginalization problem (:1069-1082)
+    for i in range(1 if imu_first_only else W - 1):
         pre_i = jax.tree.map(lambda a: a[i], preints)
         r, Ji, Jj = imu_factor_analytic(
             pre_i, noise,
@@ -539,7 +554,8 @@ def fusion_step(
     else:
         H, g = _assemble(ts1, qs1, vs1, bas1, bgs1, preints, preint_Ws, state.prior,
                          state.sb_anchor_on, sb_anchor,
-                         surf_batches, edge_batches, noise, cfg)
+                         surf_batches, edge_batches, noise, cfg,
+                         imu_first_only=True)
         J, r0 = schur_marginalize(H, g, 15)
         prior = MarginalPrior(
             J=J, r0=r0, t0=ts1[1:], q0=qs1[1:], v0=vs1[1:],
@@ -561,7 +577,7 @@ def fusion_step(
         hist_edge=hist_edge, hist_edge_mask=hist_edge_mask,
         hist_t=hist_t, hist_q=hist_q, hist_valid=hist_valid,
         write_idx=(wi + 1) % M, kf_count=state.kf_count + 1,
-        acc0=jnp.where(first, acc0, acc0), gyr0=gyr0,
+        acc0=acc0, gyr0=gyr0,
     )
     out = FusionOut(
         t_latest=ts1[-1], q_latest=qs1[-1],

@@ -65,6 +65,45 @@ def init_graph(capacity: int, loop_capacity: int = 64, dtype=jnp.float32) -> Pos
     )
 
 
+def ensure_capacity(g: PoseGraph, n_nodes: int, n_loops: int = 0) -> PoseGraph:
+    """Host-side growth: return a graph whose capacities cover ``n_nodes`` /
+    ``n_loops``, doubling (amortized O(log) recompiles of the jitted
+    consumers) when exceeded. The reference's iSAM2 graph grows unboundedly
+    (BackendFusion.cpp:1820-1878); fixed-capacity arrays with silent ``.at[]``
+    drops are not an acceptable stand-in — callers must grow *before* the
+    jitted ``add_node``/``add_loop`` write."""
+    N, L = g.t.shape[0], g.loop_i.shape[0]
+    newN, newL = N, L
+    while newN < n_nodes:
+        newN *= 2
+    while newL < n_loops:
+        newL *= 2
+    if newN == N and newL == L:
+        return g
+
+    def pad(a, cap, axis0):
+        pads = [(0, cap - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        if a.dtype == jnp.bool_:
+            return jnp.pad(a, pads, constant_values=False)
+        return jnp.pad(a, pads)
+
+    qid_rows = lambda a, cap: jnp.concatenate(
+        [a, jnp.tile(jnp.array([1.0, 0, 0, 0], a.dtype), (cap - a.shape[0], 1))])
+    return g._replace(
+        t=pad(g.t, newN, 0), q=qid_rows(g.q, newN),
+        node_valid=pad(g.node_valid, newN, 0),
+        rel_t=pad(g.rel_t, newN, 0), rel_q=qid_rows(g.rel_q, newN),
+        rel_valid=pad(g.rel_valid, newN, 0),
+        rel_weight=jnp.concatenate(
+            [g.rel_weight, jnp.ones((newN - N,), g.rel_weight.dtype)]),
+        loop_i=pad(g.loop_i, newL, 0), loop_j=pad(g.loop_j, newL, 0),
+        loop_t=pad(g.loop_t, newL, 0), loop_q=qid_rows(g.loop_q, newL),
+        loop_valid=pad(g.loop_valid, newL, 0),
+        loop_weight=jnp.concatenate(
+            [g.loop_weight, jnp.ones((newL - L,), g.loop_weight.dtype)]),
+    )
+
+
 @jax.jit
 def add_node(g: PoseGraph, t, q, chain_weight=100.0) -> PoseGraph:
     """Append a node; if a predecessor exists, add the chain between-factor

@@ -20,7 +20,8 @@ import numpy as np
 
 from ..models.fusion import FusionConfig, fusion_step, init_fusion_state
 from ..models.odometry import OdometryConfig, init_state as init_odo_state, odometry_step
-from ..models.pose_graph import add_loop, add_node, init_graph, optimize_graph
+from ..models.pose_graph import (add_loop, add_node, ensure_capacity,
+                                 init_graph, optimize_graph)
 from ..ops.features_livox import (
     LivoxFeatureConfig,
     bin_livox_image,
@@ -35,14 +36,16 @@ from ..utils.metrics import StageMetrics
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _preprocess_spin(img, valid, rel_time, dts, gyrs, imu_mask, t_scan,
+def _preprocess_spin(img, valid, rel_time, dts, gyrs, imu_mask, t_scan, q_lb,
                      cfg: SpinFeatureConfig):
     """Fused undistortion + feature extraction — one device dispatch per
     frame instead of a chain of eager reshape/undistort hops (each eager op
-    is an RPC on remote-attached runtimes)."""
+    is an RPC on remote-attached runtimes). ``q_lb`` is the lidar←IMU
+    extrinsic: the ROT reference rotates the gyro delta into the lidar frame
+    via ``q_lb·q_si·q_lb⁻¹`` (LiLi-OM-ROT/src/Preprocessing.cpp:168)."""
     q_scan = integrate_gyro(dts, gyrs, imu_mask)
     flat = undistort(img.reshape(-1, 3), rel_time.reshape(-1), q_scan,
-                     t_scan=t_scan)
+                     q_lb=q_lb, t_scan=t_scan)
     return extract_features_spin(flat.reshape(img.shape), valid, rel_time, cfg)
 
 
@@ -123,6 +126,24 @@ class LiliOmSystem:
     # IMU stream
     # ------------------------------------------------------------------
 
+    def set_initial_orientation(self, q0) -> bool:
+        """Seed the first pose orientation from the IMU's orientation
+        quaternion (w,x,y,z) — the reference initializes ``Rs[0]`` /
+        ``abs_poses[0]`` from the first IMU message (imuHandler,
+        BackendFusion.cpp:624-665). Without this, any non-level start
+        misprojects gravity and the fusion window diverges. No-op once a
+        keyframe exists; returns whether the seed was applied."""
+        if self._kf_count_host > 0:
+            return False
+        q = np.asarray(q0, float).reshape(4)
+        n = np.linalg.norm(q)
+        if not np.isfinite(n) or n < 1e-6:
+            return False
+        q = jnp.asarray(q / n, self.dtype)
+        W = self.fusion_cfg.window
+        self.fusion_state = self.fusion_state._replace(q=jnp.tile(q, (W, 1)))
+        return True
+
     def push_imu(self, stamps, accs, gyrs):
         """Append IMU samples (monotone stamps). Push ahead of the scans they
         cover — the reference's 2-scan delay queue exists for the same reason
@@ -192,7 +213,9 @@ class LiliOmSystem:
                 self._last_rel_t if self.deskew_translation else np.zeros(3),
                 self.dtype)
             fc = _preprocess_spin(img, jnp.asarray(valid), rel_time,
-                                  dts, gyrs, imu_mask, t_scan, self.feat_cfg)
+                                  dts, gyrs, imu_mask, t_scan,
+                                  jnp.asarray(self.fusion_cfg.q_lb, self.dtype),
+                                  self.feat_cfg)
         with self.metrics.stage("odometry"):
             # 8 bootstrap rounds for the first two frames (:500-504)
             rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
@@ -235,27 +258,55 @@ class LiliOmSystem:
         """One Livox sweep as flat point arrays (N,·): xyz, line id 0..5,
         time ratio, reflectivity. Mirrors the FormatConvert → Preprocessing
         Livox path (curvature = 0.1·reflectivity, FormatConvert.cpp:19-21)."""
+        self.metrics.count_scan()
         pts = jnp.asarray(pts, self.dtype)
         ratio = jnp.asarray(ratio, self.dtype)
-        pts = self._undistort_with_buffer(pts, ratio, stamp)
-        curv = 0.1 * jnp.asarray(refl, self.dtype)
-        img, img_curv, img_valid = bin_livox_image(
-            pts, jnp.asarray(line, jnp.int32), ratio,
-            curv, jnp.asarray(valid), self.livox_cfg)
-        lf = extract_features_livox(img, img_curv, img_valid, self.livox_cfg)
-        # bound the surf set to the odometry capacity by voxel downsampling
-        surf, surf_refl, surf_mask = voxel_downsample(
-            lf.surf_pts, lf.surf_mask, 0.3, self.odo_cfg.scan_cap,
-            feats=lf.surf_curv[:, None])
-        rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
-        self.odo_state, out = odometry_step(self.odo_state, surf, surf_mask,
-                                            self.odo_cfg, n_rounds=rounds)
+        with self.metrics.stage("preprocess"):
+            pts = self._undistort_with_buffer(pts, ratio, stamp)
+            curv = 0.1 * jnp.asarray(refl, self.dtype)
+            img, img_curv, img_valid = bin_livox_image(
+                pts, jnp.asarray(line, jnp.int32), ratio,
+                curv, jnp.asarray(valid), self.livox_cfg)
+            lf = extract_features_livox(img, img_curv, img_valid, self.livox_cfg)
+            # bound the surf set to the odometry capacity by voxel downsampling
+            surf, surf_refl, surf_mask = voxel_downsample(
+                lf.surf_pts, lf.surf_mask, 0.3, self.odo_cfg.scan_cap,
+                feats=lf.surf_curv[:, None])
+        with self.metrics.stage("odometry"):
+            rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
+            self.odo_state, out = odometry_step(self.odo_state, surf, surf_mask,
+                                                self.odo_cfg, n_rounds=rounds)
         self.n_frames += 1
-        self.trajectory.append(np.asarray(out.t))
+        # ONE host transfer for everything this frame's control flow needs
+        # (the spin path's single-transfer trick — each extra sync is a ~30 ms
+        # RPC on remote-attached runtimes)
+        summary = np.asarray(jnp.concatenate([
+            out.t, out.rel_t,
+            jnp.stack([out.is_keyframe.astype(self.dtype),
+                       out.n_corr.astype(self.dtype)]),
+        ]))
+        out = out._replace(is_keyframe=bool(summary[6] > 0.5))
+        self.trajectory.append(summary[0:3])
+        self._frame_stamps.append(stamp)
+        if self.deskew_translation:
+            self._last_rel_t = summary[3:6]
+        if int(summary[7]) == 0 and self.n_frames > 2:
+            self._starved_frames += 1
+            if self._starved_frames in (3, 50, 500):
+                import warnings
 
-        if bool(out.is_keyframe):
-            edge, edge_mask = pad_cloud(lf.edge_pts, lf.edge_mask, self.fusion_cfg.kf_edge_cap)
-            self._on_keyframe_clouds(surf, surf_mask, surf_refl[:, 0], edge, edge_mask, stamp)
+                warnings.warn(
+                    f"no surf correspondences for {self._starved_frames} frames — "
+                    "check feature thresholds and scan binning")
+        else:
+            self._starved_frames = 0
+
+        if out.is_keyframe:
+            with self.metrics.stage("backend"):
+                edge, edge_mask = pad_cloud(lf.edge_pts, lf.edge_mask,
+                                            self.fusion_cfg.kf_edge_cap)
+                self._on_keyframe_clouds(surf, surf_mask, surf_refl[:, 0],
+                                         edge, edge_mask, stamp)
         return out
 
     def _on_keyframe(self, fc, stamp):
@@ -307,6 +358,7 @@ class LiliOmSystem:
             self.fusion_state, sp, sm, s_refl, ep, em,
             dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm)
 
+        self.graph = ensure_capacity(self.graph, len(self.kf_stamps) + 1)
         self.graph = add_node(self.graph, fout.t_latest, fout.q_latest)
         if self.densify_frames:
             self._densify_interval(stamp, fout)
@@ -460,6 +512,8 @@ class LiliOmSystem:
         rel_t, rel_q = pose_relative(t_corr, q_corr,
                                      jnp.asarray(g_t[his], self.dtype),
                                      jnp.asarray(g_q[his], self.dtype))
+        self.graph = ensure_capacity(self.graph, n,
+                                     int(self.graph.n_loops) + 1)
         self.graph = add_loop(self.graph, cur, his, rel_t, rel_q, res.fitness)
         self.graph = optimize_graph(self.graph, n_iters=10)
         self._correct_poses()

@@ -92,6 +92,8 @@ def config_fr_iosb_rot() -> SystemConfig:
             surf_leaf=0.4, edge_leaf=0.2,  # ROT hardcodes (:491-496)
             use_reflectivity=False, weight_gate=0.3,
             q_lb=(0.7071, 0.0, 0.0, 0.7071), t_lb=(-0.18, 0.0, -0.095),
+            sb_weights=(8.0, 8.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+            # ROT PriorFactor.h: vx,vy weight 8, rest 1
         ),
         spin_features=SpinFeatureConfig(ds_rate=4),  # yaml:13
         loop_closure=LoopClosureConfig(
