@@ -1,6 +1,15 @@
-"""Driver benchmark: full per-scan SLAM pipeline throughput on one chip.
+"""Driver benchmark: full per-scan SLAM pipeline throughput on one chip,
+at the FR_IOSB-ROT **reference-parity** configuration.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
+FLOP/byte-accounted utilization figures alongside the throughput.
+
+Parity config (vs round-1's reduced bench): 64-ring scan image (FR_IOSB-ROT
+is a 64-line sensor, LiLi-OM-ROT/config/config_fr_iosb.yaml:12), odometry at
+full capacities (scan 8192 / query 4096 / map 32768 — OdometryConfig
+defaults mirroring the reference), backend window 3 × local map 50 keyframes
+(ROT config:21) with max_num_iter=15 GN iterations (ROT config:22), ds_rate 4
+(ROT config:13).
 
 The timed path per scan = LOAM feature extraction + scan-to-map GN odometry
 + backend sliding-window fusion (IMU factors + lidar correspondence search +
@@ -10,6 +19,11 @@ backend too.
 
 Baseline: the reference's real-time envelope is 10 Hz scan processing
 (README.md:32; BASELINE.md) — ``vs_baseline`` = scans/s ÷ 10.
+
+Utilization accounting (docs/MFU.md has the per-kernel derivation): the
+pipeline's hot kernels are kNN distance matmuls + top-k extraction —
+arithmetic intensity ~1.5 flop/byte, i.e. HBM-bound, so the meaningful
+roofline is memory bandwidth; MFU is reported for completeness.
 """
 import json
 import time
@@ -18,29 +32,62 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lili_om_tpu.models.fusion import FusionConfig, fusion_step, init_fusion_state
-from lili_om_tpu.models.odometry import OdometryConfig, init_state, odometry_step
-from lili_om_tpu.ops.features_spin import SpinFeatureConfig, extract_features_spin
-from lili_om_tpu.ops.preintegration import ImuNoise
+from lili_om_tpu.models.fusion import fusion_step, init_fusion_state
+from lili_om_tpu.models.odometry import init_state, odometry_step
+from lili_om_tpu.ops.features_spin import extract_features_spin
 from lili_om_tpu.sim.lidar import simulate_scan, spinning_pattern
 from lili_om_tpu.sim.trajectory import circle_trajectory, simulate_imu
 from lili_om_tpu.sim.world import make_room_world
+from lili_om_tpu.utils.config import load_config
 
-R, C, PERIOD = 16, 900, 0.1
+R, C, PERIOD = 64, 1800, 0.1
 N_WARM = 3
 N_TIMED = 20
 
+# chip peaks for utilization accounting (TPU v5e / "v5 lite")
+PEAK_F32_FLOPS = 49.2e12  # MXU f32
+PEAK_HBM_BYTES = 819e9
+
+
+def hot_path_accounting(ocfg, bcfg, n_odo_rounds: int):
+    """Analytic FLOPs + HBM bytes per scan for the hot kernels. Each entry:
+    (flops, bytes, where). Distance matmuls count 2·Q·P·3; top-k
+    min-extraction re-reads the Q×P distance tile ~(k+1)× (see ops/knn.py)."""
+    k = 5
+    ks = {}
+
+    def knn(Q, P):
+        flops = 6 * Q * P  # |q−p|² via the Q×3×P matmul
+        bytes_ = 4 * Q * P * (1 + (k + 1))  # write D once, re-read (k+1)×
+        return flops, bytes_
+
+    f, b = knn(ocfg.query_cap, ocfg.map_cap)
+    ks["odometry_knn"] = (n_odo_rounds * f, n_odo_rounds * b,
+                          "frontend 5-NN, per matching round")
+    W = bcfg.window
+    f, b = knn(W * bcfg.kf_surf_cap, bcfg.map_surf_cap)
+    ks["fusion_surf_knn"] = (f, b, "window-flattened surf 5-NN")
+    f, b = knn(W * bcfg.kf_edge_cap, bcfg.map_edge_cap)
+    ks["fusion_edge_knn"] = (f, b, "window-flattened edge 5-NN")
+    # plane/line fits: eig3+solve3 ≈ 250 flop per query; GN assembly ≈
+    # 6×6 outer products per correspondence
+    q_all = n_odo_rounds * ocfg.query_cap + W * (bcfg.kf_surf_cap + bcfg.kf_edge_cap)
+    ks["fits_and_gn"] = (q_all * 400 * max(bcfg.max_num_iter, ocfg.gn_iters),
+                         q_all * 4 * 40, "closed-form fits + IRLS-GN assembly")
+    ks["features"] = (R * C * 150, R * C * 4 * 30, "curvature stencil + NMS + top-k")
+    return ks
+
 
 def main():
+    cfg = load_config("fr_iosb_rot")
+    fcfg = cfg.spin_features  # ds_rate=4, surf_cap 8192
+    ocfg = cfg.odometry  # scan 8192 / query 4096 / map 32768, scan_match_cnt 1
+    bcfg = cfg.fusion._replace(max_num_iter=15, imu_cap=32)  # ROT yaml:22
+    noise = cfg.imu_noise
+
     world = make_room_world()
     traj = circle_trajectory(radius=8.0, period=40.0)
     pattern = spinning_pattern(n_rings=R, n_cols=C)
-    fcfg = SpinFeatureConfig(surf_cap=4096)
-    ocfg = OdometryConfig(n_recent_frames=10, scan_cap=4096, query_cap=1024, map_cap=16384)
-    bcfg = FusionConfig(window=3, local_map_width=40, kf_surf_cap=2048, kf_edge_cap=1024,
-                        map_surf_cap=32768, map_edge_cap=8192, use_reflectivity=False,
-                        weight_gate=0.3, lidar_const=7.5, max_num_iter=6, imu_cap=32)
-    noise = ImuNoise()
 
     # pre-stage sim inputs on device (sensor I/O is not the benchmarked path)
     scans = []
@@ -62,12 +109,13 @@ def main():
     ostate = init_state(ocfg, dtype=jnp.float32)
     fstate = init_fusion_state(bcfg, noise, dtype=jnp.float32)
 
-    def frame(ostate, fstate, img, valid, rel, dts, accs, gyrs, vm, warmup=False):
+    def frame(ostate, fstate, img, valid, rel, dts, accs, gyrs, vm):
         fc = extract_features_spin(img, valid, rel, fcfg)
-        ostate, out = odometry_step(ostate, fc.surf_pts, fc.surf_mask, ocfg)
+        ostate, out = odometry_step(ostate, fc.surf_pts, fc.surf_mask, ocfg,
+                                    n_rounds=ocfg.scan_match_cnt)
         fstate, fout = fusion_step(
             fstate, fc.surf_pts, fc.surf_mask, jnp.zeros_like(fc.surf_pts[:, 0]),
-            fc.edge_pts, fc.edge_mask, dts, accs, gyrs, vm, bcfg, noise, warmup=warmup)
+            fc.edge_pts, fc.edge_mask, dts, accs, gyrs, vm, bcfg, noise)
         return ostate, fstate, fout
 
     for k in range(N_WARM):
@@ -75,7 +123,7 @@ def main():
         # (no correspondences -> prior+IMU only), so the bench compiles ONE
         # fusion variant instead of warmup+main (halves driver compile time)
         ostate, fstate, fout = frame(ostate, fstate, *scans[k])
-    fout.t_latest.block_until_ready()
+    np.asarray(fout.t_latest)  # real sync (block_until_ready is a tunnel no-op)
 
     t0 = time.perf_counter()
     for k in range(N_WARM, N_WARM + N_TIMED):
@@ -84,11 +132,22 @@ def main():
     dt = time.perf_counter() - t0
 
     scans_per_s = N_TIMED / dt
+    ks = hot_path_accounting(ocfg, bcfg, ocfg.scan_match_cnt)
+    flops_per_scan = sum(v[0] for v in ks.values())
+    bytes_per_scan = sum(v[1] for v in ks.values())
+    mfu = flops_per_scan * scans_per_s / PEAK_F32_FLOPS
+    hbm_util = bytes_per_scan * scans_per_s / PEAK_HBM_BYTES
     print(json.dumps({
-        "metric": "full_pipeline_scans_per_sec",
+        "metric": "full_pipeline_scans_per_sec_parity64",
         "value": round(scans_per_s, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_s / 10.0, 2),
+        "config": "fr_iosb_rot 64x1800, odo 4096x32768, fusion W3xM50 iter15",
+        "hot_flops_per_scan": round(flops_per_scan / 1e9, 3),
+        "hot_bytes_per_scan_gb": round(bytes_per_scan / 1e9, 3),
+        "mfu": round(mfu, 5),
+        "hbm_utilization": round(hbm_util, 3),
+        "bound": "hbm (knn intensity ~1.5 flop/byte; see docs/MFU.md)",
     }))
 
 

@@ -41,12 +41,15 @@ def main():
 
     from lili_om_tpu.io.livox import convert_internal_imu
     from lili_om_tpu.io.rosbag import ImuMsg, LivoxCustomMsg, PointCloud2Msg, read_bag
+    from lili_om_tpu.io.velodyne import VelodyneScanMsg, decode_packets
     from lili_om_tpu.models.system import LiliOmSystem
     from lili_om_tpu.ops.features_spin import ring_from_angle
     from lili_om_tpu.utils.config import load_config
 
     cfg = load_config(args.preset)
-    rings = args.rings or (64 if "64" in args.preset else 16)
+    rings = args.rings or (64 if "fr_iosb_rot" in args.preset else
+                           32 if ("utbm" in args.preset or "hk" in args.preset)
+                           else 16)
     sys_ = LiliOmSystem(
         odo_cfg=cfg.odometry, fusion_cfg=cfg.fusion, feat_cfg=cfg.spin_features,
         livox_cfg=cfg.livox_features, lc_cfg=cfg.loop_closure, noise=cfg.imu_noise,
@@ -82,15 +85,24 @@ def main():
                                     msg.reflectivity.astype(np.float32),
                                     np.isfinite(msg.pts).all(axis=1), msg.stamp)
             n_scans += 1
-        elif isinstance(msg, PointCloud2Msg) and (args.lidar is None or topic == args.lidar):
-            pts = msg.xyz()
-            finite = np.isfinite(pts).all(axis=1)
-            if "ring" in msg.fields:
-                ring = msg.field("ring").astype(np.int32)
+        elif isinstance(msg, (PointCloud2Msg, VelodyneScanMsg)) and (
+                args.lidar is None or topic == args.lidar):
+            if isinstance(msg, VelodyneScanMsg):
+                # UTBM raw packets: the reference decodes with a
+                # velodyne_pointcloud cloud_node (run_utbm.launch:6-14)
+                dec = decode_packets(msg.packets,
+                                     "HDL32E" if rings == 32 else "VLP16")
+                pts, finite, ring = dec.pts[dec.valid], None, dec.ring[dec.valid]
+                finite = np.isfinite(pts).all(axis=1)
             else:
-                r, ok = ring_from_angle(jnp.asarray(pts, jnp.float32), rings)
-                ring = np.asarray(r)
-                finite &= np.asarray(ok)
+                pts = msg.xyz()
+                finite = np.isfinite(pts).all(axis=1)
+                if "ring" in msg.fields:
+                    ring = msg.field("ring").astype(np.int32)
+                else:
+                    r, ok = ring_from_angle(jnp.asarray(pts, jnp.float32), rings)
+                    ring = np.asarray(r)
+                    finite &= np.asarray(ok)
             az = np.arctan2(pts[:, 1], pts[:, 0])
             rel = ((az + np.pi) / (2 * np.pi)).astype(np.float32)
             col = np.clip((rel * args.cols).astype(np.int64), 0, args.cols - 1)

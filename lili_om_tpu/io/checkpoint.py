@@ -42,6 +42,10 @@ def save_system(path: str, system) -> None:
     _flatten("graph", system.graph, out)
     for i in range(len(system.kf_clouds)):
         out[f"kf_cloud__{i}"] = system._kf_cloud_np(i)
+    for i in range(len(system.kf_edge_clouds)):
+        out[f"kf_edge__{i}"] = system._kf_cloud_np(i, system.kf_edge_clouds)
+    for i in range(len(system.kf_full_clouds)):
+        out[f"kf_full__{i}"] = system._kf_cloud_np(i, system.kf_full_clouds)
     out["kf_stamps"] = np.asarray(system.kf_stamps)
     out["kf_positions"] = (np.stack(system.kf_positions)
                            if system.kf_positions else np.zeros((0, 3)))
@@ -88,6 +92,21 @@ def load_system(path: str, system) -> None:
     while f"kf_cloud__{i}" in data:
         system.kf_clouds.append(data[f"kf_cloud__{i}"])
         i += 1
+    system.kf_edge_clouds = []
+    i = 0
+    while f"kf_edge__{i}" in data:
+        system.kf_edge_clouds.append(data[f"kf_edge__{i}"])
+        i += 1
+    system.kf_full_clouds = []
+    i = 0
+    while f"kf_full__{i}" in data:
+        system.kf_full_clouds.append(data[f"kf_full__{i}"])
+        i += 1
+    # older checkpoints predate the edge/full archives — fall back to surf
+    if not system.kf_edge_clouds:
+        system.kf_edge_clouds = [np.zeros((0, 3)) for _ in system.kf_clouds]
+    if not system.kf_full_clouds:
+        system.kf_full_clouds = list(system.kf_clouds)
     meta_path = (path[:-4] if path.endswith(".npz") else path) + ".json"
     if not os.path.exists(meta_path):
         meta_path = path + ".json"

@@ -154,11 +154,29 @@ def parse_livox_custom(data: bytes) -> LivoxCustomMsg:
                           np.asarray(body["line"]))
 
 
+def parse_velodyne_scan(data: bytes):
+    """velodyne_msgs/VelodyneScan: Header + VelodynePacket[] where each
+    packet is (stamp sec u32, nsec u32, data u8[1206]). Raw UDP payloads —
+    the reference decodes them with velodyne_pointcloud's cloud_node
+    (run_utbm.launch:6-14); we decode with io.velodyne.decode_packets."""
+    from .velodyne import VelodyneScanMsg
+
+    stamp, i = _read_ros_header(data, 0)
+    (n,) = struct.unpack_from("<I", data, i)
+    i += 4
+    rec = np.dtype([("sec", "<u4"), ("nsec", "<u4"), ("data", "u1", 1206)])
+    body = np.frombuffer(data, rec, count=n, offset=i)
+    return VelodyneScanMsg(stamp,
+                           body["sec"] + body["nsec"] * 1e-9,
+                           np.ascontiguousarray(body["data"]))
+
+
 _PARSERS = {
     "sensor_msgs/Imu": parse_imu,
     "sensor_msgs/PointCloud2": parse_pointcloud2,
     "livox_ros_driver/CustomMsg": parse_livox_custom,
     "livox_ros_driver2/CustomMsg": parse_livox_custom,
+    "velodyne_msgs/VelodyneScan": parse_velodyne_scan,
 }
 
 

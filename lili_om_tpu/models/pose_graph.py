@@ -237,3 +237,169 @@ def optimize_graph(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
 
     t, q = jax.lax.fori_loop(0, n_iters, gn_iter, (g.t, g.q))
     return g._replace(t=t, q=q)
+
+
+# ---------------------------------------------------------------------------
+# Linear-time solver: block-tridiagonal chain + Woodbury loop updates
+# ---------------------------------------------------------------------------
+#
+# The TPU-idiomatic iSAM2 replacement (BackendFusion.cpp:1820-1878 grows the
+# graph every frame, forever): the GN normal matrix of a chain-plus-loops
+# graph is H = T + U·Uᵀ with T block-tridiagonal (6×6 blocks, from the chain
+# factors + anchors) and U of rank 6·L from the L loop factors. One GN step
+# solves H·x = −g by
+#   (1) a block-Thomas factorization of T (lax.scan over nodes — O(N), with
+#       fully unrolled 6×6 Cholesky, never LAPACK small-matrix lowering), and
+#   (2) the Woodbury identity over the 6L-dim loop subspace.
+# Per-solve cost grows linearly in N and quadratically only in the (small)
+# loop count — a 10⁴-node graph is a few-ms solve, where the dense (6N)²
+# Cholesky of `optimize_graph` would need GBs and O(N³).
+
+
+def _chol6(A):
+    """Unrolled 6×6 Cholesky (elementwise ops only — jnp.linalg on small
+    matrices lowers to LAPACK-style loops that are 40-65× slower on TPU,
+    see ops/fitting.py)."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    z = jnp.zeros_like(A[..., 0, 0])
+    rows = [jnp.stack([L[i][j] if j <= i else z for j in range(6)], -1)
+            for i in range(6)]
+    return jnp.stack(rows, -2)
+
+
+def _tri_lower6(L, B):
+    """Solve L·y = B with L lower-triangular (…,6,6), B (…,6,R). Unrolled."""
+    ys = []
+    for i in range(6):
+        s = B[..., i, :]
+        for k in range(i):
+            s = s - L[..., i, k][..., None] * ys[k]
+        ys.append(s / L[..., i, i][..., None])
+    return jnp.stack(ys, -2)
+
+
+def _tri_upper6(L, B):
+    """Solve Lᵀ·x = B. Unrolled."""
+    xs = [None] * 6
+    for i in reversed(range(6)):
+        s = B[..., i, :]
+        for k in range(i + 1, 6):
+            s = s - L[..., k, i][..., None] * xs[k]
+        xs[i] = s / L[..., i, i][..., None]
+    return jnp.stack(xs, -2)
+
+
+def _cho_solve6(L, B):
+    return _tri_upper6(L, _tri_lower6(L, B))
+
+
+def block_tridiag_solve(D, B, rhs):
+    """Solve the block-tridiagonal SPD system T·X = rhs.
+
+    T has diagonal blocks ``D`` (N,6,6) and super-diagonal blocks ``B``
+    (N,6,6) where B[i] couples nodes i and i+1 (B[N-1] ignored);
+    rhs (N,6,R). Block-Thomas: forward elimination then back substitution,
+    both as lax.scan.
+    """
+    N = D.shape[0]
+    B_prev = jnp.concatenate([jnp.zeros_like(B[:1]), B[:-1]], axis=0)
+
+    def fwd(carry, inp):
+        C_prev, z_prev = carry
+        Di, Bi, Bpi, ri = inp
+        S = Di - Bpi.swapaxes(-1, -2) @ C_prev
+        y = ri - Bpi.swapaxes(-1, -2) @ z_prev
+        Lc = _chol6(S)
+        C = _cho_solve6(Lc, Bi)
+        z = _cho_solve6(Lc, y)
+        return (C, z), (C, z)
+
+    R = rhs.shape[-1]
+    init = (jnp.zeros_like(D[0]), jnp.zeros_like(rhs[0]))
+    _, (Cs, zs) = jax.lax.scan(fwd, init, (D, B, B_prev, rhs))
+
+    def bwd(x_next, inp):
+        Ci, zi = inp
+        x = zi - Ci @ x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros((6, R), rhs.dtype), (Cs, zs),
+                         reverse=True)
+    return xs
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
+                         prior_weight: float = 1e4) -> PoseGraph:
+    """GN over all node tangents with the linear-time chain+Woodbury solve.
+    Same problem as :func:`optimize_graph` (equivalence-tested); use this for
+    any graph past a few hundred nodes."""
+    N = g.t.shape[0]
+    L = g.loop_i.shape[0]
+    dtype = g.t.dtype
+    idx = jnp.arange(N)
+    chain_i = idx
+    chain_j = jnp.minimum(idx + 1, N - 1)
+    anchor = jnp.where(idx == 0, prior_weight, 0.0)
+    freeze = jnp.where(g.node_valid, 0.0, 1e12)
+    diag_add = (anchor + freeze + damping).astype(dtype)
+
+    def gn_iter(_, carry):
+        t, q = carry
+        # --- chain factors → block-tridiagonal T and gradient ---
+        rc, Jci, Jcj = _between_batch(
+            t[chain_i], q[chain_i], t[chain_j], q[chain_j],
+            g.rel_t, g.rel_q, g.rel_weight)
+        mc = g.rel_valid & (chain_i + 1 < g.n_nodes)
+        Jci = jnp.where(mc[:, None, None], Jci, 0.0)
+        Jcj = jnp.where(mc[:, None, None], Jcj, 0.0)
+        rc = jnp.where(mc[:, None], rc, 0.0)
+        Hii = jnp.einsum("fab,fac->fbc", Jci, Jci)
+        Hjj = jnp.einsum("fab,fac->fbc", Jcj, Jcj)
+        Bblk = jnp.einsum("fab,fac->fbc", Jci, Jcj)  # couples i,i+1
+        gi = jnp.einsum("fab,fa->fb", Jci, rc)
+        gj = jnp.einsum("fab,fa->fb", Jcj, rc)
+        shift = lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], 0)
+        D = Hii + shift(Hjj)
+        D = D + jnp.eye(6, dtype=dtype)[None] * diag_add[:, None, None]
+        gv = gi + shift(gj)
+
+        # --- loop factors → low-rank U (N,6,6L) + gradient scatter ---
+        rl, Jli, Jlj = _between_batch(
+            t[g.loop_i], q[g.loop_i], t[g.loop_j], q[g.loop_j],
+            g.loop_t, g.loop_q, g.loop_weight)
+        ml = g.loop_valid
+        Jli = jnp.where(ml[:, None, None], Jli, 0.0)
+        Jlj = jnp.where(ml[:, None, None], Jlj, 0.0)
+        rl = jnp.where(ml[:, None], rl, 0.0)
+        U = jnp.zeros((N, 6, L, 6), dtype)
+        lidx = jnp.arange(L)
+        U = U.at[g.loop_i, :, lidx, :].add(jnp.swapaxes(Jli, -1, -2))
+        U = U.at[g.loop_j, :, lidx, :].add(jnp.swapaxes(Jlj, -1, -2))
+        U = U.reshape(N, 6, 6 * L)
+        gv = gv.at[g.loop_i].add(jnp.einsum("fab,fa->fb", Jli, rl))
+        gv = gv.at[g.loop_j].add(jnp.einsum("fab,fa->fb", Jlj, rl))
+
+        # --- solve (T + U·Uᵀ) x = −g via Woodbury ---
+        rhs = jnp.concatenate([-gv[:, :, None], U], axis=-1)  # (N,6,1+6L)
+        Y = block_tridiag_solve(D, Bblk, rhs)
+        y0, Yu = Y[..., 0], Y[..., 1:]
+        K = jnp.eye(6 * L, dtype=dtype) + jnp.einsum("nar,nas->rs", U, Yu)
+        w = jnp.linalg.solve(K, jnp.einsum("nar,na->r", U, y0))
+        x = y0 - jnp.einsum("nar,r->na", Yu, w)
+
+        t = t + x[:, :3]
+        q = quat_normalize(quat_mul(q, exp_so3(x[:, 3:6])))
+        return (t, q)
+
+    t, q = jax.lax.fori_loop(0, n_iters, gn_iter, (g.t, g.q))
+    return g._replace(t=t, q=q)

@@ -21,13 +21,14 @@ import numpy as np
 from ..models.fusion import FusionConfig, fusion_step, init_fusion_state
 from ..models.odometry import OdometryConfig, init_state as init_odo_state, odometry_step
 from ..models.pose_graph import (add_loop, add_node, ensure_capacity,
-                                 init_graph, optimize_graph)
+                                 init_graph, optimize_graph_chain)
 from ..ops.features_livox import (
     LivoxFeatureConfig,
     bin_livox_image,
     extract_features_livox,
 )
 from ..ops.features_spin import SpinFeatureConfig, extract_features_spin, integrate_gyro, undistort
+from ..factors.lidar import body_points
 from ..ops.icp import icp_point_to_plane
 from ..ops.preintegration import ImuNoise
 from ..ops.voxel import pad_cloud, voxel_downsample
@@ -94,6 +95,13 @@ class LiliOmSystem:
         # host-side keyframe archive (unbounded, numpy)
         self.kf_stamps: list[float] = []
         self.kf_clouds: list[np.ndarray] = []  # downsampled surf clouds, sensor frame
+        self.kf_edge_clouds: list[np.ndarray] = []  # edge clouds, sensor frame
+        # bounded-at-insert full clouds (the reference archives full_clouds /
+        # full_clouds_ds per keyframe and builds /global_map from them,
+        # BackendFusion.cpp:1497-1500, 2644-2685)
+        self.kf_full_clouds: list[np.ndarray] = []
+        self.full_cloud_leaf = 0.3  # mapping_ds (config_fr_iosb.yaml:35)
+        self.full_cloud_cap = 16384
         self.kf_positions: list[np.ndarray] = []
         self.n_frames = 0
         self.trajectory: list[np.ndarray] = []  # per-frame positions (diagnostic)
@@ -121,6 +129,12 @@ class LiliOmSystem:
         self._frame_stamps: list[float] = []
         self._prev_kf = None  # (stamp, t, q, v) of the previous keyframe
         self._kf_count_host = 0  # mirrors fusion_state.kf_count (no sync)
+        # cadenced map assembly (publishCompleteMap thread @0.02 Hz,
+        # BackendFusion.cpp:2687-2696): set ``map_callback`` to receive the
+        # (N,3) global map every ``map_publish_period`` seconds of scan time
+        self.map_callback = None
+        self.map_publish_period = 50.0
+        self._last_map_pub = None
 
     # ------------------------------------------------------------------
     # IMU stream
@@ -200,10 +214,17 @@ class LiliOmSystem:
                   if self.deskew_translation else None)
         return undistort(flat_pts, rel_flat, q_scan, t_scan=t_scan)
 
-    def process_scan(self, img, valid, rel_time, stamp: float):
+    def process_scan(self, img, valid, rel_time, stamp: float,
+                     defer_backend: bool = False):
         """One organized spinning-LiDAR sweep (R,C,3). IMU samples covering
         the sweep (and since the last keyframe) must already be pushed via
-        :meth:`push_imu`. Returns the frontend output for this frame."""
+        :meth:`push_imu`. Returns the frontend output for this frame.
+
+        ``defer_backend``: skip the inline backend call and return
+        ``(out, fc_or_None)`` instead — the pipelined runner hands keyframes
+        to :meth:`process_keyframe` on a separate worker so preprocessing of
+        scan k+1 overlaps the backend of scan k (the reference's
+        process-level parallelism, SURVEY.md §1)."""
         self.metrics.count_scan()
         img = jnp.asarray(img, self.dtype)
         rel_time = jnp.asarray(rel_time, self.dtype)
@@ -249,10 +270,32 @@ class LiliOmSystem:
         else:
             self._starved_frames = 0
 
+        if defer_backend:
+            return out, (fc if out.is_keyframe else None)
         if out.is_keyframe:
             with self.metrics.stage("backend"):
                 self._on_keyframe(fc, stamp)
+        self._maybe_publish_map(stamp)
         return out
+
+    def process_keyframe(self, fc, stamp: float):
+        """Backend half of a deferred keyframe (see ``defer_backend``)."""
+        with self.metrics.stage("backend"):
+            self._on_keyframe(fc, stamp)
+        self._maybe_publish_map(stamp)
+
+    def _maybe_publish_map(self, stamp: float):
+        """Invoke ``map_callback`` with the assembled global map at the
+        publish cadence (scan-time clock; 50 s default = the reference's
+        0.02 Hz map thread, BackendFusion.cpp:2689)."""
+        if self.map_callback is None:
+            return
+        if self._last_map_pub is None:
+            self._last_map_pub = stamp
+            return
+        if stamp - self._last_map_pub >= self.map_publish_period:
+            self._last_map_pub = stamp
+            self.map_callback(self.build_global_map(interval=2))
 
     def process_scan_livox(self, pts, line, ratio, refl, valid, stamp: float):
         """One Livox sweep as flat point arrays (N,·): xyz, line id 0..5,
@@ -306,15 +349,18 @@ class LiliOmSystem:
                 edge, edge_mask = pad_cloud(lf.edge_pts, lf.edge_mask,
                                             self.fusion_cfg.kf_edge_cap)
                 self._on_keyframe_clouds(surf, surf_mask, surf_refl[:, 0],
-                                         edge, edge_mask, stamp)
+                                         edge, edge_mask, stamp,
+                                         full=(pts, jnp.asarray(valid)))
+        self._maybe_publish_map(stamp)
         return out
 
     def _on_keyframe(self, fc, stamp):
         self._on_keyframe_clouds(fc.surf_pts, fc.surf_mask,
                                  jnp.zeros_like(fc.surf_pts[:, 0]),
-                                 fc.edge_pts, fc.edge_mask, stamp)
+                                 fc.edge_pts, fc.edge_mask, stamp,
+                                 full=(fc.full_pts, fc.full_mask))
 
-    def _on_keyframe_clouds(self, sp, sm, s_refl, ep, em, stamp):
+    def _on_keyframe_clouds(self, sp, sm, s_refl, ep, em, stamp, full=None):
         # clouds pass at their native capacity; fusion_step voxel-downsamples
         # into its storage capacities at insert
         cfg = self.fusion_cfg
@@ -370,15 +416,45 @@ class LiliOmSystem:
         # archive lazily: keep the DEVICE arrays (no transfer on the hot
         # path); materialize to numpy on first use (loop closure / export)
         self.kf_clouds.append((sp, sm))
+        self.kf_edge_clouds.append((ep, em))
+        # full cloud, voxel-bounded at insert (the reference's full_clouds_ds)
+        if full is not None:
+            fp, fm = voxel_downsample(full[0], full[1], self.full_cloud_leaf,
+                                      self.full_cloud_cap)
+            self.kf_full_clouds.append((fp, fm))
+        else:
+            self.kf_full_clouds.append((sp, sm))
 
-    def _kf_cloud_np(self, i: int) -> np.ndarray:
+    def _kf_cloud_np(self, i: int, archive=None) -> np.ndarray:
         """Materialize archived keyframe cloud i (lazy device→host)."""
-        c = self.kf_clouds[i]
+        if archive is None:
+            archive = self.kf_clouds
+        c = archive[i]
         if isinstance(c, tuple):
             sp, sm = c
             c = np.asarray(sp)[np.asarray(sm)]
-            self.kf_clouds[i] = c
+            archive[i] = c
         return c
+
+    def _world_cloud_np(self, i: int, g_t, g_q, archive=None) -> np.ndarray:
+        """Archived sensor-frame cloud i → world, applying the lidar→body
+        extrinsic before the keyframe pose — the reference composes
+        ``q_pose·q_bl`` (= pose ∘ extrinsic⁻¹) when assembling submaps and
+        the global map (transformCloud calls at BackendFusion.cpp:2492-2494,
+        2661-2672)."""
+        c = self._kf_cloud_np(i, archive)
+        if len(c) == 0:
+            return c.reshape(0, 3)
+        cfg = self.fusion_cfg
+        q_lb = np.asarray(cfg.q_lb)
+        t_lb = np.asarray(cfg.t_lb)
+        cb = np.asarray(body_points(jnp.asarray(c, self.dtype),
+                                    jnp.asarray(t_lb, self.dtype),
+                                    jnp.asarray(q_lb, self.dtype)))
+        w = quat_rotate(jnp.broadcast_to(jnp.asarray(g_q[i], self.dtype),
+                                         (cb.shape[0], 4)),
+                        jnp.asarray(cb, self.dtype)) + jnp.asarray(g_t[i], self.dtype)
+        return np.asarray(w)
 
     # ------------------------------------------------------------------
     # failure detection / elastic recovery (absent in the reference,
@@ -515,25 +591,28 @@ class LiliOmSystem:
         self.graph = ensure_capacity(self.graph, n,
                                      int(self.graph.n_loops) + 1)
         self.graph = add_loop(self.graph, cur, his, rel_t, rel_q, res.fitness)
-        self.graph = optimize_graph(self.graph, n_iters=10)
+        # linear-time chain+Woodbury solve — the dense (6N)² program would
+        # not survive a full-length sequence (see pose_graph.py)
+        self.graph = optimize_graph_chain(self.graph, n_iters=10)
         self._correct_poses()
         self.last_loop_stamp = cur_stamp
         return True
 
     def _submap(self, center: int, width: int, g_t, g_q):
         """World-frame downsampled submap of keyframes [center−width,
-        center+width] (build…KeyFrames, :2474-2548)."""
+        center+width]: surf + edge features, like the reference's
+        latest/history loop submaps (build…KeyFrames, :2474-2548 adds both
+        edge_frames and surf_frames)."""
         lo = max(0, center - width)
         hi = min(len(self.kf_clouds), center + width + 1)
         pts = []
         for i in range(lo, hi):
-            c = self._kf_cloud_np(i)
-            if len(c) == 0:
-                continue
-            R_q = jnp.asarray(g_q[i], self.dtype)
-            w = quat_rotate(jnp.broadcast_to(R_q, (c.shape[0], 4)),
-                            jnp.asarray(c, self.dtype)) + jnp.asarray(g_t[i], self.dtype)
-            pts.append(np.asarray(w))
+            for archive in (self.kf_clouds, self.kf_edge_clouds):
+                if i >= len(archive):
+                    continue  # archives populated out-of-band (tests, tools)
+                w = self._world_cloud_np(i, g_t, g_q, archive)
+                if len(w):
+                    pts.append(w)
         if not pts:
             return np.zeros((0, 3)), np.zeros((0,), bool)
         allp = jnp.asarray(np.concatenate(pts), self.dtype)
@@ -546,29 +625,38 @@ class LiliOmSystem:
     # map export (publishCompleteMap :2644-2685 + save_pcd :2697-2722)
     # ------------------------------------------------------------------
 
-    def build_global_map(self, leaf: float = 0.3, cap: int = 262144) -> np.ndarray:
-        """Assemble the global map: every archived keyframe cloud transformed
-        by its (loop-corrected) graph pose, voxel-downsampled at ``leaf``
-        (mapping_ds=0.3, config_fr_iosb.yaml:35). Returns (N,3) numpy."""
-        n = len(self.kf_clouds)
+    def build_global_map(self, leaf: float = 0.3, cap: int | None = None,
+                         interval: int = 1, features_only: bool = False) -> np.ndarray:
+        """Assemble the global map: every archived keyframe **full cloud**
+        transformed by its (loop-corrected) graph pose ∘ lidar extrinsic,
+        voxel-downsampled at ``leaf`` (publishCompleteMap builds /global_map
+        from ``full_clouds`` at mapping_interval, BackendFusion.cpp:2644-2685;
+        mapping_ds=0.3, config_fr_iosb.yaml:35). The downsample runs host-side
+        with unbounded-extent keys (trajectories can span kilometres — far
+        past the device kernel's axis budget). Returns (N,3) numpy.
+
+        ``features_only``: use the sparse surf archive instead (the round-1
+        behavior; much sparser, kept for diagnostics). ``cap``: optional
+        random subsample of the result."""
+        archive = self.kf_full_clouds
+        if features_only or len(archive) < len(self.kf_clouds):
+            archive = self.kf_clouds  # archives populated out-of-band
+        n = len(archive)
         if n == 0:
             return np.zeros((0, 3))
         g_t = np.asarray(self.graph.t[:n])
         g_q = np.asarray(self.graph.q[:n])
-        parts = []
-        for i in range(n):
-            c = self._kf_cloud_np(i)
-            if len(c) == 0:
-                continue
-
-            w = quat_rotate(jnp.broadcast_to(jnp.asarray(g_q[i], self.dtype), (c.shape[0], 4)),
-                            jnp.asarray(c, self.dtype)) + jnp.asarray(g_t[i], self.dtype)
-            parts.append(np.asarray(w))
+        parts = [w for i in range(0, n, max(interval, 1))
+                 if len(w := self._world_cloud_np(i, g_t, g_q, archive))]
         if not parts:
             return np.zeros((0, 3))
-        allp = jnp.asarray(np.concatenate(parts), self.dtype)
-        out, mask = voxel_downsample(allp, jnp.ones(allp.shape[0], bool), leaf, cap)
-        return np.asarray(out[np.asarray(mask)])
+        from ..ops.voxel import voxel_downsample_np
+
+        out = voxel_downsample_np(np.concatenate(parts), leaf)
+        if cap is not None and len(out) > cap:
+            sel = np.random.default_rng(0).choice(len(out), cap, replace=False)
+            out = out[np.sort(sel)]
+        return out
 
     def export_map(self, path: str, leaf: float = 0.3) -> int:
         """Write the global map as a binary PCD (the reference hardcodes its

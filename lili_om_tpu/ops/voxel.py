@@ -3,8 +3,13 @@
 
 Centroid-per-voxel, computed as one sort + segment-sum XLA program with a
 static output capacity and validity mask (no dynamic shapes). Keys are
-packed 3×21-bit integer cells, supporting ±10⁶ cells per axis — far beyond
-the ±200 m sensing envelope at any useful leaf size.
+packed 3×10-bit integer cells relative to the cloud's min corner: 1024
+cells per axis (409 m at a 0.4 m leaf) — ample for every *device-side*
+consumer (per-scan clouds, per-keyframe clouds, the local map), whose
+extent is bounded by the ±200 m sensing envelope. Whole-trajectory clouds
+(global map export) can exceed it; those run through
+:func:`voxel_downsample_np`, the host-side exact version with unbounded
+int64 keys.
 """
 from __future__ import annotations
 
@@ -75,6 +80,27 @@ def voxel_downsample(
         fout = jnp.where(out_mask[:, None], fsums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
         return out, fout, out_mask
     return out, out_mask
+
+
+def voxel_downsample_np(pts, leaf: float):
+    """Host-side exact voxel-centroid downsample (numpy, unbounded extent).
+
+    For whole-trajectory clouds — global map export, long submaps — whose
+    span exceeds the device kernel's 1024-cell axis budget. int64 keys give
+    2²¹ cells per axis; ``np.unique`` does the grouping.
+    """
+    import numpy as np
+
+    pts = np.asarray(pts)
+    if len(pts) == 0:
+        return pts.reshape(0, 3)
+    cells = np.floor(pts / leaf).astype(np.int64)
+    cells -= cells.min(axis=0)
+    key = (cells[:, 0] << 42) | (cells[:, 1] << 21) | cells[:, 2]
+    uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+    sums = np.zeros((len(uniq), 3), pts.dtype)
+    np.add.at(sums, inv, pts)
+    return sums / cnt[:, None]
 
 
 def pad_cloud(pts: jnp.ndarray, mask: jnp.ndarray, cap: int):

@@ -1,11 +1,21 @@
 """Async pipeline runner — the in-process equivalent of the reference's
-4-ROS-process topology (SURVEY.md §1): sensor feeds arrive asynchronously,
-the native time sequencer gates aligned frame bundles (the ±0.1 s stamp
-gates of LidarOdometry::run / BackendFusion::run), a worker thread drives
-the compute system, and the loop-closure cadence runs on its own thread
-(the reference's 1 Hz `loopClosureThread`, BackendFusion.cpp:2410-2421).
+4-ROS-process topology (SURVEY.md §1):
 
-Backpressure is the bounded queue (ROS `queue_size`): when the worker falls
+* sensor feeds arrive asynchronously from producer threads;
+* the native **Sequencer** (native/lili_runtime.cc) gates each scan until the
+  IMU stream covers its sweep — the ±0.1 s stamp gates of
+  ``LidarOdometry::run`` (LidarOdometry.cpp:653-655) and
+  ``BackendFusion::run`` (BackendFusion.cpp:2727-2733);
+* a **frontend worker** runs preprocessing + scan-to-map odometry;
+* a **backend worker** consumes keyframes from a bounded handoff ring, so
+  the frontend keeps ingesting scan k+1 while the backend fuses keyframe k —
+  the reference's process-level overlap (Preprocessing/LidarOdometry run
+  while BackendFusion chews), which round 1 lacked (one serial worker);
+* the loop-closure cadence runs on its own thread (the 1 Hz
+  ``loopClosureThread``, BackendFusion.cpp:2410-2421), sharing the backend
+  mutex — the reference's ``mutual_exclusion`` discipline (:131, 2430, 2620).
+
+Backpressure is the bounded queue (ROS ``queue_size``): when a worker falls
 behind, the oldest scans drop — real-time semantics rather than unbounded
 lag.
 """
@@ -18,75 +28,181 @@ from typing import Optional
 
 import numpy as np
 
+SCAN_STREAM = 0
+IMU_STREAM = 1
+
+
+class _PySequencer:
+    """Pure-python fallback mirroring native Sequencer semantics."""
+
+    def __init__(self, n_streams: int, tol: float):
+        self.q = [[] for _ in range(n_streams)]
+        self.tol = tol
+
+    def push(self, stream: int, stamp: float, handle: int):
+        self.q[stream].append((stamp, handle))
+
+    def try_pop(self):
+        if any(not q for q in self.q):
+            return None
+        pivot = max(q[0][0] for q in self.q)
+        for q in self.q:
+            while q and q[0][0] < pivot - self.tol:
+                q.pop(0)
+            if not q or q[0][0] > pivot + self.tol:
+                return None
+        out = [q.pop(0) for q in self.q]
+        return [s for s, _ in out], [h for _, h in out]
+
+
+def _make_sequencer(n_streams: int, tol: float):
+    try:
+        from . import native
+
+        if native.available():
+            return native.Sequencer(n_streams, tol)
+    except Exception:
+        pass
+    return _PySequencer(n_streams, tol)
+
 
 class PipelineRunner:
     """Drives a LiliOmSystem from asynchronous scan/IMU feeds.
 
     feed_imu() / feed_scan() may be called from any producer thread;
-    processing happens on the worker thread in stamp order.
+    frontend processing happens on the frontend worker in stamp order, and
+    keyframe fusion overlaps on the backend worker.
     """
 
-    def __init__(self, system, queue_size: int = 100, loop_period_s: float = 1.0):
+    def __init__(self, system, queue_size: int = 100, loop_period_s: float = 1.0,
+                 scan_period: float = 0.1, overlap: bool = True):
         self.system = system
-        self._scans: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._scan_store: dict[int, tuple] = {}
+        self._scan_seq = 0
+        self._store_lock = threading.Lock()
+        self._seq = _make_sequencer(2, scan_period)
+        self._seq_lock = threading.Lock()
+        self._scan_period = scan_period
+        self._ready: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._kf_queue: queue.Queue = queue.Queue(maxsize=8)
         self._stop = threading.Event()
-        self._worker: Optional[threading.Thread] = None
+        self._front: Optional[threading.Thread] = None
+        self._back: Optional[threading.Thread] = None
         self._loop_thread: Optional[threading.Thread] = None
         self._loop_period = loop_period_s
         self._imu_lock = threading.Lock()
+        self.overlap = overlap
         self.n_processed = 0
+        self.n_keyframes = 0
         self.n_dropped = 0
         self.loop_closures = 0
+        # backend mutex: keyframe fusion + loop closure + pose correction
         self._sys_lock = threading.Lock()
 
     # ---- producers -----------------------------------------------------
     def feed_imu(self, stamps, accs, gyrs):
         with self._imu_lock:
             self.system.push_imu(stamps, accs, gyrs)
+        stamps = np.atleast_1d(stamps)
+        with self._seq_lock:
+            # an IMU sample at t certifies sweep coverage up to t. The gate
+            # accepts entries within ±tol of the scan stamp, so shift by
+            # 2·period (tol = period): entry t−2p ≥ s−tol ⇔ t ≥ s+p, i.e. a
+            # scan pops only once samples past its sweep end exist
+            # (processIMU consumes through the scan end,
+            # Preprocessing.cpp:135-171). One entry per sample — each popped
+            # bundle consumes one; stale entries are dropped by the gate.
+            for s in stamps:
+                self._seq.push(IMU_STREAM, float(s) - 2 * self._scan_period, 0)
+            self._drain_sequencer()
 
     def feed_scan(self, img, valid, rel_time, stamp: float):
-        try:
-            self._scans.put_nowait((np.asarray(img), np.asarray(valid),
-                                    np.asarray(rel_time), float(stamp)))
-        except queue.Full:
-            # bounded-queue drop (ROS queue_size semantics)
+        with self._store_lock:
+            h = self._scan_seq
+            self._scan_seq += 1
+            self._scan_store[h] = (np.asarray(img), np.asarray(valid),
+                                   np.asarray(rel_time), float(stamp))
+        with self._seq_lock:
+            self._seq.push(SCAN_STREAM, float(stamp), h)
+            self._drain_sequencer()
+
+    def _drain_sequencer(self):
+        """Move every aligned bundle into the frontend queue (bounded drop)."""
+        while True:
+            out = self._seq.try_pop()
+            if out is None:
+                return
+            h = out[1][SCAN_STREAM]
+            with self._store_lock:
+                item = self._scan_store.pop(h, None)
+            if item is None:
+                continue
             try:
-                self._scans.get_nowait()
-                self.n_dropped += 1
-                self._scans.put_nowait((np.asarray(img), np.asarray(valid),
-                                        np.asarray(rel_time), float(stamp)))
-            except queue.Empty:
-                pass
+                self._ready.put_nowait(item)
+            except queue.Full:
+                try:
+                    self._ready.get_nowait()
+                    self.n_dropped += 1
+                    self._ready.put_nowait(item)
+                except queue.Empty:
+                    pass
 
     # ---- lifecycle -----------------------------------------------------
     def start(self):
         self._stop.clear()
-        self._worker = threading.Thread(target=self._work, daemon=True)
-        self._worker.start()
+        self._front = threading.Thread(target=self._front_work, daemon=True)
+        self._front.start()
+        if self.overlap:
+            self._back = threading.Thread(target=self._back_work, daemon=True)
+            self._back.start()
         self._loop_thread = threading.Thread(target=self._loop_closure_loop, daemon=True)
         self._loop_thread.start()
 
     def stop(self, drain: bool = True, timeout: float = 300.0):
         if drain:
             t0 = time.time()
-            while not self._scans.empty() and time.time() - t0 < timeout:
+            while ((not self._ready.empty() or not self._kf_queue.empty())
+                   and time.time() - t0 < timeout):
                 time.sleep(0.01)
         self._stop.set()
-        if self._worker:
-            self._worker.join(timeout=30)
-        if self._loop_thread:
-            self._loop_thread.join(timeout=30)
+        for th in (self._front, self._back, self._loop_thread):
+            if th:
+                th.join(timeout=30)
 
     # ---- threads -------------------------------------------------------
-    def _work(self):
+    def _front_work(self):
         while not self._stop.is_set():
             try:
-                img, valid, rel, stamp = self._scans.get(timeout=0.05)
+                img, valid, rel, stamp = self._ready.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            if self.overlap:
+                out, fc = self.system.process_scan(img, valid, rel, stamp,
+                                                   defer_backend=True)
+                if fc is not None:
+                    # bounded handoff; block briefly — keyframes must not
+                    # drop (they carry the map), so backpressure stalls the
+                    # frontend instead (the reference's bounded topic queue)
+                    while not self._stop.is_set():
+                        try:
+                            self._kf_queue.put((fc, stamp), timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+            else:
+                with self._sys_lock:
+                    self.system.process_scan(img, valid, rel, stamp)
+            self.n_processed += 1
+
+    def _back_work(self):
+        while not self._stop.is_set():
+            try:
+                fc, stamp = self._kf_queue.get(timeout=0.05)
             except queue.Empty:
                 continue
             with self._sys_lock:
-                self.system.process_scan(img, valid, rel, stamp)
-            self.n_processed += 1
+                self.system.process_keyframe(fc, stamp)
+            self.n_keyframes += 1
 
     def _loop_closure_loop(self):
         while not self._stop.is_set():

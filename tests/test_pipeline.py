@@ -54,11 +54,64 @@ class TestPipelineRunner:
     def test_bounded_queue_drops(self):
         sys_ = tiny_system()
         runner = PipelineRunner(sys_, queue_size=2)
-        # no worker started: queue fills, drops oldest
+        # no worker started: the sequencer releases IMU-covered scans into
+        # the ready queue, which fills and drops oldest
         z = np.zeros((R, C, 3))
         v = np.zeros((R, C), bool)
         r = np.zeros((R, C))
+        stamps = np.arange(0.0, 1.0, 0.005)
+        runner.feed_imu(stamps, np.zeros((len(stamps), 3)), np.zeros((len(stamps), 3)))
         for k in range(5):
             runner.feed_scan(z, v, r, 0.1 * k)
         assert runner.n_dropped == 3
-        assert runner._scans.qsize() == 2
+        assert runner._ready.qsize() == 2
+
+    def test_sequencer_gates_on_imu_coverage(self):
+        """A scan must not reach the frontend before IMU samples cover its
+        sweep (the reference's ±0.1 s input gates, LidarOdometry.cpp:653-655)."""
+        sys_ = tiny_system()
+        runner = PipelineRunner(sys_, queue_size=8)
+        z = np.zeros((R, C, 3))
+        v = np.zeros((R, C), bool)
+        r = np.zeros((R, C))
+        runner.feed_scan(z, v, r, 1.0)
+        assert runner._ready.qsize() == 0  # no IMU yet
+        t = np.arange(0.9, 1.05, 0.005)  # covers only up to 1.05 < 1.0+period
+        runner.feed_imu(t, np.zeros((len(t), 3)), np.zeros((len(t), 3)))
+        assert runner._ready.qsize() == 0
+        t = np.arange(1.05, 1.25, 0.005)  # past the sweep end
+        runner.feed_imu(t, np.zeros((len(t), 3)), np.zeros((len(t), 3)))
+        assert runner._ready.qsize() == 1
+
+    def test_overlap_matches_serial(self):
+        """Backend overlap must not change the estimate: the frontend and
+        backend touch disjoint state, so pipelined == serial results."""
+        world = make_room_world()
+        traj = circle_trajectory(radius=8.0, period=40.0)
+        pattern = spinning_pattern(n_rings=R, n_cols=C)
+        imu = simulate_imu(traj, 0.0, 9 * PERIOD, rate=200.0)
+        scans = [simulate_scan(world, traj, k * PERIOD, pattern, period=PERIOD)
+                 for k in range(7)]
+
+        results = []
+        for overlap in (False, True):
+            sys_ = tiny_system()
+            sys_.lc_cfg.enabled = False
+            runner = PipelineRunner(sys_, queue_size=16, overlap=overlap,
+                                    loop_period_s=10.0)
+            runner.feed_imu(np.asarray(imu.stamps), np.asarray(imu.accs),
+                            np.asarray(imu.gyrs))
+            runner.start()
+            for k, scan in enumerate(scans):
+                runner.feed_scan(np.asarray(scan.pts).reshape(R, C, 3),
+                                 np.asarray(scan.valid).reshape(R, C),
+                                 np.asarray(scan.rel_time).reshape(R, C),
+                                 k * PERIOD)
+            runner.stop(drain=True)
+            assert runner.n_processed == 7
+            results.append((np.asarray(sys_.fusion_state.t),
+                            np.asarray(sys_.fusion_state.q),
+                            len(sys_.kf_stamps)))
+        np.testing.assert_array_equal(results[0][0], results[1][0])
+        np.testing.assert_array_equal(results[0][1], results[1][1])
+        assert results[0][2] == results[1][2]

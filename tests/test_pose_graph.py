@@ -105,3 +105,86 @@ class TestIcp:
         res = icp_point_to_plane(pts, mask, other, mask,
                                  jnp.zeros(3), jnp.array([1.0, 0, 0, 0.0]), n_iters=3)
         assert float(res.fitness) > 0.1  # reference gate lc_icp_thres=0.1
+
+
+class TestChainSolver:
+    """The linear-time block-tridiagonal + Woodbury solver must match the
+    dense reference solver (same GN problem) and scale past the dense
+    solver's feasible size."""
+
+    def _noisy_graph(self, n=24, n_loops=2, seed=7):
+        from lili_om_tpu.models.pose_graph import ensure_capacity
+
+        rng = np.random.default_rng(seed)
+        g = init_graph(32, loop_capacity=4, dtype=jnp.float64)
+        t = np.zeros(3)
+        q = np.array([1.0, 0, 0, 0])
+        qs = [q]
+        for i in range(n):
+            g = ensure_capacity(g, i + 1)
+            g = add_node(g, jnp.asarray(t), jnp.asarray(qs[-1]))
+            t = t + rng.normal(size=3) * 0.5
+            qs.append(np.asarray(quat_normalize(quat_mul(
+                jnp.asarray(qs[-1]), exp_so3(jnp.asarray(rng.normal(size=3) * 0.1))))))
+        for l in range(n_loops):
+            g = add_loop(g, n - 1 - l, 2 + l,
+                         jnp.asarray(rng.normal(size=3) * 0.1),
+                         jnp.asarray([1.0, 0, 0, 0], jnp.float64), 0.05)
+        # perturb the estimate so GN has work to do
+        return g._replace(t=g.t + jnp.asarray(rng.normal(size=g.t.shape) * 0.05))
+
+    def test_matches_dense_solver(self):
+        from lili_om_tpu.models.pose_graph import optimize_graph_chain
+
+        g = self._noisy_graph()
+        gd = optimize_graph(g, n_iters=8)
+        gc = optimize_graph_chain(g, n_iters=8)
+        np.testing.assert_allclose(np.asarray(gc.t), np.asarray(gd.t), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(gc.q), np.asarray(gd.q), atol=1e-10)
+
+    def test_no_loops_matches_dense(self):
+        from lili_om_tpu.models.pose_graph import optimize_graph_chain
+
+        g = self._noisy_graph(n_loops=0)
+        gd = optimize_graph(g, n_iters=5)
+        gc = optimize_graph_chain(g, n_iters=5)
+        np.testing.assert_allclose(np.asarray(gc.t), np.asarray(gd.t), atol=1e-9)
+
+    def test_large_graph_solves(self):
+        # 2048 nodes — the dense solver would build a 12288² H; the chain
+        # solver runs it in O(N)
+        from lili_om_tpu.models.pose_graph import optimize_graph_chain
+
+        N = 2048
+        rng = np.random.default_rng(0)
+        g = init_graph(N, loop_capacity=8, dtype=jnp.float64)
+        g = g._replace(
+            n_nodes=jnp.asarray(N, jnp.int32),
+            node_valid=jnp.ones((N,), bool),
+            rel_valid=jnp.ones((N,), bool),
+            t=jnp.asarray(np.cumsum(rng.normal(size=(N, 3)), axis=0) * 0.1))
+        out = optimize_graph_chain(g, n_iters=2)
+        assert np.all(np.isfinite(np.asarray(out.t)))
+        assert np.all(np.isfinite(np.asarray(out.q)))
+
+    def test_block_tridiag_solve_exact(self):
+        from lili_om_tpu.models.pose_graph import block_tridiag_solve
+
+        rng = np.random.default_rng(11)
+        N = 12
+        # random SPD block-tridiagonal system
+        Bs = rng.normal(size=(N, 6, 6)) * 0.1
+        Ds = np.stack([np.eye(6) * 4 + rng.normal(size=(6, 6)) * 0.05
+                       for _ in range(N)])
+        Ds = 0.5 * (Ds + Ds.transpose(0, 2, 1))
+        T = np.zeros((6 * N, 6 * N))
+        for i in range(N):
+            T[6*i:6*i+6, 6*i:6*i+6] = Ds[i]
+            if i + 1 < N:
+                T[6*i:6*i+6, 6*i+6:6*i+12] = Bs[i]
+                T[6*i+6:6*i+12, 6*i:6*i+6] = Bs[i].T
+        rhs = rng.normal(size=(N, 6, 3))
+        X = block_tridiag_solve(jnp.asarray(Ds), jnp.asarray(Bs), jnp.asarray(rhs))
+        expect = np.linalg.solve(T, rhs.reshape(6 * N, 3))
+        np.testing.assert_allclose(np.asarray(X).reshape(6 * N, 3), expect,
+                                   rtol=1e-8, atol=1e-8)
