@@ -195,17 +195,29 @@ def _surf_correspondences(pts_b, pw, pts_mask, refl, map_pts, map_mask, map_refl
     """
     d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
     nbrs = map_pts[idx]
+    return surf_fit_and_gate(pts_b, pw, pts_mask, refl, d2, nbrs,
+                             map_refl[idx], cfg)
+
+
+def surf_fit_and_gate(pts_b, pw, pts_mask, refl, d2, nbrs, nbr_refl,
+                      cfg: FusionConfig) -> PlaneFactorBatch:
+    """Plane fit + gates given precomputed k-NN candidates — shared by the
+    single-chip search above and the map-sharded path (which merges
+    candidates across the mesh first, parallel/map_fusion.py).
+
+    ``d2`` (Q,k) ascending squared distances; ``nbrs`` (Q,k,3) neighbor
+    coordinates; ``nbr_refl`` (Q,k) their curvature channel."""
     nn_ok = d2[:, cfg.k - 1] < cfg.kd_max_radius
 
     if cfg.use_reflectivity:
-        dcurv = jnp.abs(refl[:, None] - map_refl[idx])  # (Q,k)
+        dcurv = jnp.abs(refl[:, None] - nbr_refl)  # (Q,k)
         dcurv = jnp.maximum(dcurv, 1e-6)
         sum_w = jnp.sum(dcurv, axis=-1)
         vec_w = (1.0 / dcurv) / sum_w[:, None]
         refl_ok = sum_w <= cfg.reflect_thres
     else:
         sum_w = jnp.zeros(pts_b.shape[0], pts_b.dtype)
-        vec_w = jnp.ones(idx.shape, pts_b.dtype)
+        vec_w = jnp.ones(d2.shape, pts_b.dtype)
         refl_ok = jnp.ones(pts_b.shape[0], bool)
 
     if cfg.plane_fit == "centered":
@@ -251,7 +263,12 @@ def _edge_correspondences(pts_b, pw, pts_mask, map_pts, map_mask, cfg: FusionCon
     centroid ± 0.1·direction; factor weight = lidar_const. Flattened over
     the window like the surf search."""
     d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
-    nbrs = map_pts[idx]
+    return edge_fit_and_gate(pts_b, pts_mask, d2, map_pts[idx], cfg)
+
+
+def edge_fit_and_gate(pts_b, pts_mask, d2, nbrs, cfg: FusionConfig) -> EdgeFactorBatch:
+    """Line fit + gates given precomputed k-NN candidates (see
+    :func:`surf_fit_and_gate`)."""
     nn_ok = d2[:, cfg.k - 1] < cfg.edge_nn_gate
 
     center = jnp.mean(nbrs, axis=-2)
@@ -269,6 +286,57 @@ def _edge_correspondences(pts_b, pw, pts_mask, map_pts, map_mask, cfg: FusionCon
         scores=jnp.where(keep, cfg.lidar_const, 0.0),
         mask=keep,
     )
+
+
+def default_map_and_match(state: FusionState, ts, qs,
+                          win_surf_b, win_surf_mask, win_surf_refl,
+                          win_edge_b, win_edge_mask, cfg: FusionConfig):
+    """Phase C+E of the per-keyframe step: build the local feature maps from
+    the ring buffer (buildLocalMapWithLandMark :1387-1484, downSampleCloud
+    :1486-1528) and run the flattened-window correspondence searches.
+
+    Split out so the multi-chip path can inject a map-sharded variant
+    (parallel/map_fusion.py) — the map is the big operand; sharding it over
+    the mesh scales both its HBM footprint and the O(Q·P) kNN distance work.
+
+    Returns (surf_batches, edge_batches, enough_map).
+    """
+    W, M = cfg.window, cfg.local_map_width
+    hist_world = quat_rotate(state.hist_q[:, None, :], state.hist_surf) + state.hist_t[:, None, :]
+    hmask = state.hist_surf_mask & state.hist_valid[:, None]
+    map_surf, map_refl, map_surf_mask = voxel_downsample(
+        hist_world.reshape(M * cfg.kf_surf_cap, 3),
+        hmask.reshape(-1), cfg.surf_leaf, cfg.map_surf_cap,
+        feats=state.hist_surf_refl.reshape(-1, 1),
+    )
+    map_refl = map_refl[:, 0]
+    hist_edge_world = quat_rotate(state.hist_q[:, None, :], state.hist_edge) + state.hist_t[:, None, :]
+    emask = state.hist_edge_mask & state.hist_valid[:, None]
+    map_edge, map_edge_mask = voxel_downsample(
+        hist_edge_world.reshape(M * cfg.kf_edge_cap, 3),
+        emask.reshape(-1), cfg.edge_leaf, cfg.map_edge_cap,
+    )
+    enough_map = (jnp.sum(map_surf_mask.astype(jnp.int32)) > 50) & (
+        jnp.sum(map_edge_mask.astype(jnp.int32)) > 0
+    )  # (:936)
+
+    # flatten the window: (W,S,3) → (W·S,3); one kNN launch for all
+    # window keyframes (they share the map)
+    Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
+    pw_surf = (quat_rotate(qs[:, None, :], win_surf_b) + ts[:, None, :]).reshape(W * Sc, 3)
+    sb_flat = _surf_correspondences(
+        win_surf_b.reshape(W * Sc, 3), pw_surf,
+        win_surf_mask.reshape(W * Sc), win_surf_refl.reshape(W * Sc),
+        map_surf, map_surf_mask, map_refl, cfg)
+    surf_batches = PlaneFactorBatch(*[a.reshape((W, Sc) + a.shape[1:])
+                                      for a in sb_flat])
+    pw_edge = (quat_rotate(qs[:, None, :], win_edge_b) + ts[:, None, :]).reshape(W * Ec, 3)
+    eb_flat = _edge_correspondences(
+        win_edge_b.reshape(W * Ec, 3), pw_edge,
+        win_edge_mask.reshape(W * Ec), map_edge, map_edge_mask, cfg)
+    edge_batches = EdgeFactorBatch(*[a.reshape((W, Ec) + a.shape[1:])
+                                     for a in eb_flat])
+    return surf_batches, edge_batches, enough_map
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +434,7 @@ def _retract_window(ts, qs, vs, bas, bgs, delta):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "noise", "warmup"))
+@partial(jax.jit, static_argnames=("cfg", "noise", "warmup", "match_fn"))
 def fusion_step(
     state: FusionState,
     surf_pts: jnp.ndarray,  # (Sc,3) lidar frame (frontend-downsampled)
@@ -381,6 +449,7 @@ def fusion_step(
     cfg: FusionConfig = FusionConfig(),
     noise: ImuNoise = ImuNoise(),
     warmup: bool = False,
+    match_fn=None,
 ):
     """Ingest one keyframe: IMU propagate + preintegrate, window shift,
     local-map correspondence, sliding-window GN, guarded write-back,
@@ -390,6 +459,10 @@ def fusion_step(
     (kf_count+1 < window, the reference's :833 early-out) — the caller
     knows the keyframe count, so start-up is a separate small compiled
     program instead of a traced ``cond`` doubling the main program.
+
+    ``match_fn`` (static): map-build + correspondence phase; defaults to
+    :func:`default_map_and_match`. The multi-chip path injects the
+    map-sharded variant (parallel/map_fusion.py).
     """
     W, M = cfg.window, cfg.local_map_width
     dtype = state.t.dtype
@@ -421,25 +494,6 @@ def fusion_step(
     preints = jax.tree.map(
         lambda a, n: jnp.roll(a, -1, axis=0).at[-1].set(n), state.preints, pre_new
     )
-
-    # --- C: local map from history (excluding the incoming keyframe) ---
-    hist_world = quat_rotate(state.hist_q[:, None, :], state.hist_surf) + state.hist_t[:, None, :]
-    hmask = state.hist_surf_mask & state.hist_valid[:, None]
-    map_surf, map_refl, map_surf_mask = voxel_downsample(
-        hist_world.reshape(M * cfg.kf_surf_cap, 3),
-        hmask.reshape(-1), cfg.surf_leaf, cfg.map_surf_cap,
-        feats=state.hist_surf_refl.reshape(-1, 1),
-    )
-    map_refl = map_refl[:, 0]
-    hist_edge_world = quat_rotate(state.hist_q[:, None, :], state.hist_edge) + state.hist_t[:, None, :]
-    emask = state.hist_edge_mask & state.hist_valid[:, None]
-    map_edge, map_edge_mask = voxel_downsample(
-        hist_edge_world.reshape(M * cfg.kf_edge_cap, 3),
-        emask.reshape(-1), cfg.edge_leaf, cfg.map_edge_cap,
-    )
-    enough_map = (jnp.sum(map_surf_mask.astype(jnp.int32)) > 50) & (
-        jnp.sum(map_edge_mask.astype(jnp.int32)) > 0
-    )  # (:936)
 
     # --- D: insert incoming keyframe into the ring buffer, voxel-downsampled
     # in the sensor frame (the reference stores surf_lasts_ds/edge_lasts_ds,
@@ -486,29 +540,20 @@ def fusion_step(
             mask=jnp.zeros(win_edge_b.shape[:2], bool))
         surf_batches, edge_batches = zero_plane, zero_edge
     else:
-        # flatten the window: (W,S,3) → (W·S,3); one kNN launch for all
-        # window keyframes (they share the map)
-        Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
-        pw_surf = (quat_rotate(qs[:, None, :], win_surf_b) + ts[:, None, :]).reshape(W * Sc, 3)
-        sb_flat = _surf_correspondences(
-            win_surf_b.reshape(W * Sc, 3), pw_surf,
-            win_surf_mask.reshape(W * Sc), win_surf_refl.reshape(W * Sc),
-            map_surf, map_surf_mask, map_refl, cfg)
-        surf_batches = PlaneFactorBatch(*[a.reshape((W, Sc) + a.shape[1:])
-                                          for a in sb_flat])
-        pw_edge = (quat_rotate(qs[:, None, :], win_edge_b) + ts[:, None, :]).reshape(W * Ec, 3)
-        eb_flat = _edge_correspondences(
-            win_edge_b.reshape(W * Ec, 3), pw_edge,
-            win_edge_mask.reshape(W * Ec), map_edge, map_edge_mask, cfg)
-        edge_batches = EdgeFactorBatch(*[a.reshape((W, Ec) + a.shape[1:])
-                                         for a in eb_flat])
-    # disable lidar factors when the map is too sparse (:936, start-up)
-    surf_batches = surf_batches._replace(
-        mask=surf_batches.mask & enough_map,
-        scores=surf_batches.scores * enough_map.astype(dtype))
-    edge_batches = edge_batches._replace(
-        mask=edge_batches.mask & enough_map,
-        scores=edge_batches.scores * enough_map.astype(dtype))
+        # map build + correspondence search — the map comes from the
+        # PRE-insert ring buffer (the reference's local map excludes the
+        # incoming keyframe, :1387-1484); injectable for the sharded path
+        mf = match_fn or default_map_and_match
+        surf_batches, edge_batches, enough_map = mf(
+            state, ts, qs, win_surf_b, win_surf_mask, win_surf_refl,
+            win_edge_b, win_edge_mask, cfg)
+        # disable lidar factors when the map is too sparse (:936, start-up)
+        surf_batches = surf_batches._replace(
+            mask=surf_batches.mask & enough_map,
+            scores=surf_batches.scores * enough_map.astype(dtype))
+        edge_batches = edge_batches._replace(
+            mask=edge_batches.mask & enough_map,
+            scores=edge_batches.scores * enough_map.astype(dtype))
 
     # --- F: Gauss-Newton over the window tangent ---
     sb_anchor = (vs[:-1], bas[:-1], bgs[:-1])  # pre-solve anchors (:896-903)

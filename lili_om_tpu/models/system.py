@@ -81,7 +81,13 @@ class LiliOmSystem:
         graph_capacity: int = 512,
         q0=None,
         dtype=jnp.float32,
+        mesh=None,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` switches the backend to the
+        map-sharded multi-chip fusion step (parallel/map_fusion.py) — the
+        keyframe ring buffer and local map shard over the mesh, scaling map
+        HBM and kNN work 1/n. Requires local_map_width and the map caps
+        divisible by the mesh size."""
         self.odo_cfg = odo_cfg
         self.fusion_cfg = fusion_cfg
         self.feat_cfg = feat_cfg
@@ -91,6 +97,14 @@ class LiliOmSystem:
         self.dtype = dtype
         self.odo_state = init_odo_state(odo_cfg, dtype=dtype)
         self.fusion_state = init_fusion_state(fusion_cfg, noise, q0=q0, dtype=dtype)
+        self.mesh = mesh
+        self._dist_warm = self._dist_main = None
+        if mesh is not None:
+            from ..parallel.map_fusion import make_map_sharded_system_step
+
+            self._dist_warm, self._dist_main, st_sh = \
+                make_map_sharded_system_step(mesh, fusion_cfg, noise)
+            self.fusion_state = jax.device_put(self.fusion_state, st_sh)
         self.graph = init_graph(graph_capacity, dtype=dtype)
         # host-side keyframe archive (unbounded, numpy)
         self.kf_stamps: list[float] = []
@@ -400,9 +414,14 @@ class LiliOmSystem:
 
         warm = self._kf_count_host + 1 < cfg.window
         self._kf_count_host += 1
-        self.fusion_state, fout = fusion_step(
-            self.fusion_state, sp, sm, s_refl, ep, em,
-            dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm)
+        if self._dist_main is not None:
+            fn = self._dist_warm if warm else self._dist_main
+            self.fusion_state, fout = fn(self.fusion_state, sp, sm, s_refl,
+                                         ep, em, dts, accs, gyrs, vmask)
+        else:
+            self.fusion_state, fout = fusion_step(
+                self.fusion_state, sp, sm, s_refl, ep, em,
+                dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm)
 
         self.graph = ensure_capacity(self.graph, len(self.kf_stamps) + 1)
         self.graph = add_node(self.graph, fout.t_latest, fout.q_latest)
