@@ -44,7 +44,7 @@ from ..factors.lidar import (
     plane_residual,
 )
 from ..factors.prior import MarginalPrior, marginal_prior_residual, speed_bias_prior
-from ..ops.fitting import eig3_symmetric, solve3
+from ..ops.fitting import eig3_symmetric, fit_line, fit_plane
 from ..ops.knn import knn_auto
 from ..ops.marginalization import schur_marginalize
 from ..ops.preintegration import (
@@ -232,14 +232,11 @@ def surf_fit_and_gate(pts_b, pw, pts_mask, refl, d2, nbrs, nbr_refl,
         normal = evecs[..., :, 0]
         d_off = -jnp.sum(normal * ctr, axis=-1)
     else:
-        # weighted least squares (diag(w)·P)n = −w  →  normal equations
-        w2 = vec_w * vec_w
-        AtA = jnp.einsum("qk,qki,qkj->qij", w2, nbrs, nbrs)
-        Atb = -jnp.einsum("qk,qki->qi", w2, nbrs)
-        n_raw = solve3(AtA, Atb, damping=1e-9)
-        norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
-        normal = n_raw / norm
-        d_off = 1.0 / norm[..., 0]
+        # the reference's weighted A·n=−1 form (rows scaled by w → normal
+        # equations carry w²), via the shared fit library
+        fp = fit_plane(nbrs, jnp.ones(nbrs.shape[:-1], bool),
+                       dist_thres=cfg.surf_dist_thres, weights=vec_w * vec_w)
+        normal, d_off = fp.normal, fp.d
     pd_nbr = jnp.abs(jnp.einsum("qki,qi->qk", nbrs, normal) + d_off[:, None])
     plane_ok = jnp.all(pd_nbr <= cfg.surf_dist_thres, axis=-1)
 
@@ -268,21 +265,15 @@ def _edge_correspondences(pts_b, pw, pts_mask, map_pts, map_mask, cfg: FusionCon
 
 def edge_fit_and_gate(pts_b, pts_mask, d2, nbrs, cfg: FusionConfig) -> EdgeFactorBatch:
     """Line fit + gates given precomputed k-NN candidates (see
-    :func:`surf_fit_and_gate`)."""
+    :func:`surf_fit_and_gate`). Fit + λ₂>3λ₁ gate via the shared
+    :func:`ops.fitting.fit_line` (gate ratio is scale-invariant)."""
     nn_ok = d2[:, cfg.k - 1] < cfg.edge_nn_gate
-
-    center = jnp.mean(nbrs, axis=-2)
-    ctr = nbrs - center[:, None, :]
-    cov = jnp.einsum("qki,qkj->qij", ctr, ctr)
-    evals, evecs = eig3_symmetric(cov)  # ascending, closed form
-    direction = evecs[..., :, 2]
-    line_ok = evals[..., 2] > 3.0 * evals[..., 1]
-
-    keep = pts_mask & nn_ok & line_ok
+    fl = fit_line(nbrs, jnp.ones(nbrs.shape[:-1], bool), ratio_thres=3.0)
+    keep = pts_mask & nn_ok & fl.valid
     return EdgeFactorBatch(
         pts=pts_b,
-        point_a=center + 0.1 * direction,
-        point_b=center - 0.1 * direction,
+        point_a=fl.centroid + 0.1 * fl.direction,
+        point_b=fl.centroid - 0.1 * fl.direction,
         scores=jnp.where(keep, cfg.lidar_const, 0.0),
         mask=keep,
     )

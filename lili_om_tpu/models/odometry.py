@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..factors.lidar import PlaneFactorBatch, huber_weight, plane_residual
-from ..ops.fitting import eig3_symmetric, solve3
+from ..ops.fitting import eig3_symmetric, fit_plane
 from ..ops.knn import knn_auto
 from ..ops.voxel import voxel_downsample
 from ..solver.gn import gn_update
@@ -127,13 +127,10 @@ def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryC
         _, evecs = eig3_symmetric(cov)
         normal = evecs[..., :, 0]
         d_off = -jnp.sum(normal * ctr, axis=-1)
-    else:  # the reference's A·n = −1 form
-        AtA = jnp.einsum("qki,qkj->qij", nbrs, nbrs)
-        Atb = -jnp.sum(nbrs, axis=-2)
-        n_raw = solve3(AtA, Atb, damping=1e-9)
-        norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12)
-        normal = n_raw / norm
-        d_off = 1.0 / norm[..., 0]
+    else:  # the reference's A·n = −1 form, via the shared fit library
+        fp = fit_plane(nbrs, jnp.ones(nbrs.shape[:-1], bool),
+                       dist_thres=cfg.plane_tol)
+        normal, d_off = fp.normal, fp.d
     pd_nbr = jnp.abs(jnp.einsum("qki,qi->qk", nbrs, normal) + d_off[:, None])
     plane_ok = jnp.all(pd_nbr <= cfg.plane_tol, axis=-1)
 
