@@ -612,7 +612,9 @@ class LiliOmSystem:
         self.graph = add_loop(self.graph, cur, his, rel_t, rel_q, res.fitness)
         # linear-time chain+Woodbury solve — the dense (6N)² program would
         # not survive a full-length sequence (see pose_graph.py)
-        self.graph = optimize_graph_chain(self.graph, n_iters=10)
+        with self.metrics.stage("graph_solve"):
+            self.graph = optimize_graph_chain(self.graph, n_iters=10)
+            self.graph.t.block_until_ready()
         self._correct_poses()
         self.last_loop_stamp = cur_stamp
         return True
