@@ -43,6 +43,12 @@ class SpinFeatureConfig(NamedTuple):
     ds_rate: int = 1  # ring skip (:402)
     surf_cap: int = 8192  # static capacity of the downsampled surf cloud
     edge_window: int = 5  # curvature stencil half-width (:385)
+    # True = the reference's PER-RING voxel downsample (:494-508: each
+    # ring's less-flat cloud filters separately, so voxels never merge
+    # across rings); False = one global downsample over all rings (round-1
+    # approximation, slightly sparser)
+    per_ring_ds: bool = True
+    ring_cap: int = 0  # per-ring output capacity; 0 → max(surf_cap//R, 192)
 
 
 class FeatureClouds(NamedTuple):
@@ -256,9 +262,27 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
         jnp.arange(R)[:, None, None], jnp.arange(S)[None, :, None], top_i
     ].max(pick_ok)
     less_flat_mask = ok & ~edge_label.reshape(R, C)
-    surf_pts, surf_mask = voxel_downsample(
-        img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf, cfg.surf_cap
-    )
+    if cfg.per_ring_ds:
+        # per-ring filtering (:494-508): each ring downsamples on its own
+        # grid — voxels never merge across rings (preserves the vertical
+        # structure the reference's downstream fits rely on)
+        cap_r = cfg.ring_cap or max(cfg.surf_cap // R, 192)
+        pts_r, mask_r = jax.vmap(
+            lambda p, m: voxel_downsample(p, m, cfg.ds_leaf, cap_r)
+        )(img, less_flat_mask)
+        surf_pts = pts_r.reshape(R * cap_r, 3)
+        surf_mask = mask_r.reshape(R * cap_r)
+        if surf_pts.shape[0] != cfg.surf_cap:
+            # compact valid-first and re-pack to the static surf capacity
+            # (downstream ring buffers are (·, surf_cap)); stable sort keeps
+            # ring-major order
+            order = jnp.argsort(~surf_mask, stable=True)
+            surf_pts = surf_pts[order[:cfg.surf_cap]]
+            surf_mask = surf_mask[order[:cfg.surf_cap]]
+    else:
+        surf_pts, surf_mask = voxel_downsample(
+            img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf,
+            cfg.surf_cap)
 
     return FeatureClouds(
         edge_pts=edge_pts.astype(dtype), edge_mask=edge_mask, sharp_mask=sharp_mask,

@@ -66,6 +66,23 @@ def _make_sequencer(n_streams: int, tol: float):
     return _PySequencer(n_streams, tol)
 
 
+_IMU_REC = np.dtype([("stamp", "<f8"), ("acc", "<f8", 3), ("gyr", "<f8", 3)])
+
+
+def _make_imu_ring(capacity: int = 8192):
+    """Native lock-free SPSC ring for the 200 Hz IMU stream (56-byte
+    records) — producer thread → frontend worker without a Python lock on
+    the hot sample path. None when the native runtime is unavailable."""
+    try:
+        from . import native
+
+        if native.available():
+            return native.Ring(_IMU_REC.itemsize, capacity)
+    except Exception:
+        pass
+    return None
+
+
 class PipelineRunner:
     """Drives a LiliOmSystem from asynchronous scan/IMU feeds.
 
@@ -91,6 +108,7 @@ class PipelineRunner:
         self._loop_thread: Optional[threading.Thread] = None
         self._loop_period = loop_period_s
         self._imu_lock = threading.Lock()
+        self._imu_ring = _make_imu_ring()
         self.overlap = overlap
         self.n_processed = 0
         self.n_keyframes = 0
@@ -101,9 +119,23 @@ class PipelineRunner:
 
     # ---- producers -----------------------------------------------------
     def feed_imu(self, stamps, accs, gyrs):
-        with self._imu_lock:
-            self.system.push_imu(stamps, accs, gyrs)
         stamps = np.atleast_1d(stamps)
+        accs = np.atleast_2d(accs)
+        gyrs = np.atleast_2d(gyrs)
+        routed = False
+        if self._imu_ring is not None and \
+                len(self._imu_ring) + len(stamps) < 8192:
+            # consumer pops only free space, so this producer-side check is
+            # conservative-safe for the SPSC ring
+            recs = np.empty(len(stamps), _IMU_REC)
+            recs["stamp"] = stamps
+            recs["acc"] = accs
+            recs["gyr"] = gyrs
+            routed = all(self._imu_ring.push(r) for r in recs)
+        if not routed:
+            # ring unavailable or full — push directly under the lock
+            with self._imu_lock:
+                self.system.push_imu(stamps, accs, gyrs)
         with self._seq_lock:
             # an IMU sample at t certifies sweep coverage up to t. The gate
             # accepts entries within ±tol of the scan stamp, so shift by
@@ -169,6 +201,24 @@ class PipelineRunner:
             if th:
                 th.join(timeout=30)
 
+    def _drain_imu(self):
+        """Consumer side of the IMU ring: batch the pending samples into the
+        system buffer (one push_imu per drain, not per sample)."""
+        if self._imu_ring is None:
+            return
+        recs = []
+        while True:
+            r = self._imu_ring.pop()
+            if r is None:
+                break
+            recs.append(r)
+        if recs:
+            batch = np.stack(recs).view(_IMU_REC).reshape(-1)
+            with self._imu_lock:
+                self.system.push_imu(np.ascontiguousarray(batch["stamp"]),
+                                     np.ascontiguousarray(batch["acc"]),
+                                     np.ascontiguousarray(batch["gyr"]))
+
     # ---- threads -------------------------------------------------------
     def _front_work(self):
         while not self._stop.is_set():
@@ -176,6 +226,7 @@ class PipelineRunner:
                 img, valid, rel, stamp = self._ready.get(timeout=0.05)
             except queue.Empty:
                 continue
+            self._drain_imu()
             if self.overlap:
                 out, fc = self.system.process_scan(img, valid, rel, stamp,
                                                    defer_backend=True)

@@ -174,3 +174,40 @@ class TestTranslationDeskew:
         q_id = jnp.array([1.0, 0.0, 0.0, 0.0])
         out = undistort(measured, s, q_id, t_scan=v_T)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-7)
+
+
+class TestPerRingDownsample:
+    def test_rings_never_merge(self):
+        """The reference filters each ring separately (ROT Preprocessing.cpp
+        :494-508): identical xy points on two different rings must survive as
+        two output points under per_ring_ds, and merge under the global
+        downsample."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lili_om_tpu.ops.features_spin import (SpinFeatureConfig,
+                                                   extract_features_spin)
+
+        R, C = 4, 120
+        img = np.zeros((R, C, 3))
+        valid = np.zeros((R, C), bool)
+        # two rings with the SAME planar points (would share voxels globally)
+        xs = np.linspace(3.0, 9.0, C)
+        for r in (0, 2):
+            img[r, :, 0] = xs
+            img[r, :, 1] = 2.0
+            img[r, :, 2] = 0.05 * r  # within one 0.6 voxel of each other
+            valid[r, :] = True
+        rel = np.tile(np.linspace(0, 0.999, C)[None], (R, 1))
+        cfg = SpinFeatureConfig(surf_cap=512, per_ring_ds=True, ring_cap=128)
+        fc = extract_features_spin(jnp.asarray(img), jnp.asarray(valid),
+                                   jnp.asarray(rel), cfg)
+        n_pr = int(jnp.sum(fc.surf_mask))
+        cfg_g = cfg._replace(per_ring_ds=False)
+        fc_g = extract_features_spin(jnp.asarray(img), jnp.asarray(valid),
+                                     jnp.asarray(rel), cfg_g)
+        n_gl = int(jnp.sum(fc_g.surf_mask))
+        assert n_pr == 2 * n_gl, (n_pr, n_gl)
+        # per-ring points keep their ring's z
+        zs = np.unique(np.round(np.asarray(fc.surf_pts[np.asarray(fc.surf_mask)])[:, 2], 3))
+        assert set(zs) == {0.0, 0.1}
