@@ -161,6 +161,23 @@ def _between_block(t_i, q_i, t_j, q_j, dt, dq, w):
 _between_batch = jax.vmap(_between_block)
 
 
+def _clamp_step(d, max_t: float = 1.0, max_r: float = 0.3):
+    """Trust-region step control for the pose-graph GN: per-node translation
+    and rotation step norms are clamped, and non-finite solves (singular /
+    f32-overflowed systems under wildly inconsistent measurements — e.g. a
+    diverged frontend feeding 20 m loop residuals at weight 10³) zero out
+    instead of poisoning every subsequent iterate. GTSAM's iSAM2 gets the
+    same robustness from its damped incremental updates; a raw GN re-solve
+    needs it explicitly. d: (N,6) stacked tangent steps."""
+    d = jnp.where(jnp.isfinite(d), d, 0.0)
+    dt, dr = d[:, :3], d[:, 3:]
+    tn = jnp.linalg.norm(dt, axis=-1, keepdims=True)
+    rn = jnp.linalg.norm(dr, axis=-1, keepdims=True)
+    dt = dt * jnp.minimum(1.0, max_t / jnp.maximum(tn, 1e-12))
+    dr = dr * jnp.minimum(1.0, max_r / jnp.maximum(rn, 1e-12))
+    return jnp.concatenate([dt, dr], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("n_iters",))
 def optimize_graph(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
                    prior_weight: float = 1e4) -> PoseGraph:
@@ -230,7 +247,7 @@ def optimize_graph(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
         H = H + jnp.diag(diag.astype(dtype))
 
         delta = solve_normal(H, -gv, damping)
-        d = delta.reshape(N, 6)
+        d = _clamp_step(delta.reshape(N, 6))
         t = t + d[:, :3]
         q = quat_normalize(quat_mul(q, exp_so3(d[:, 3:6])))
         return (t, q)
@@ -395,7 +412,7 @@ def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
         y0, Yu = Y[..., 0], Y[..., 1:]
         K = jnp.eye(6 * L, dtype=dtype) + jnp.einsum("nar,nas->rs", U, Yu)
         w = jnp.linalg.solve(K, jnp.einsum("nar,na->r", U, y0))
-        x = y0 - jnp.einsum("nar,r->na", Yu, w)
+        x = _clamp_step(y0 - jnp.einsum("nar,r->na", Yu, w))
 
         t = t + x[:, :3]
         q = quat_normalize(quat_mul(q, exp_so3(x[:, 3:6])))
