@@ -57,7 +57,7 @@ def main():
                                 use_reflectivity=False, weight_gate=0.3,
                                 lidar_const=7.5, max_num_iter=6, imu_cap=64),
         feat_cfg=SpinFeatureConfig(surf_cap=4096),
-        lc_cfg=LoopClosureConfig(time_thres=min(10.0, period_s / 3),
+        lc_cfg=LoopClosureConfig(time_thres=max(10.0, period_s / 3),
                                  search_radius=5.0, icp_thres=0.3, map_width=6,
                                  latest_width=1),
         graph_capacity=max(256, n),

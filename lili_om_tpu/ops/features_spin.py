@@ -48,7 +48,6 @@ class SpinFeatureConfig(NamedTuple):
     # across rings); False = one global downsample over all rings (round-1
     # approximation, slightly sparser)
     per_ring_ds: bool = True
-    ring_cap: int = 0  # per-ring output capacity; 0 → max(surf_cap//R, 192)
 
 
 class FeatureClouds(NamedTuple):
@@ -265,20 +264,14 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
     if cfg.per_ring_ds:
         # per-ring filtering (:494-508): each ring downsamples on its own
         # grid — voxels never merge across rings (preserves the vertical
-        # structure the reference's downstream fits rely on)
-        cap_r = cfg.ring_cap or max(cfg.surf_cap // R, 192)
-        pts_r, mask_r = jax.vmap(
-            lambda p, m: voxel_downsample(p, m, cfg.ds_leaf, cap_r)
-        )(img, less_flat_mask)
-        surf_pts = pts_r.reshape(R * cap_r, 3)
-        surf_mask = mask_r.reshape(R * cap_r)
-        if surf_pts.shape[0] != cfg.surf_cap:
-            # compact valid-first and re-pack to the static surf capacity
-            # (downstream ring buffers are (·, surf_cap)); stable sort keeps
-            # ring-major order
-            order = jnp.argsort(~surf_mask, stable=True)
-            surf_pts = surf_pts[order[:cfg.surf_cap]]
-            surf_mask = surf_mask[order[:cfg.surf_cap]]
+        # structure the reference's downstream fits rely on). Implemented as
+        # ONE group-keyed downsample (an extra stable sort), not a vmapped
+        # program per ring — vmapped sorts inflated TPU compile time badly.
+        ring_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                                    (R, C)).reshape(-1)
+        surf_pts, surf_mask = voxel_downsample(
+            img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf,
+            cfg.surf_cap, groups=ring_ids)
     else:
         surf_pts, surf_mask = voxel_downsample(
             img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf,

@@ -43,6 +43,7 @@ def voxel_downsample(
     leaf: float,
     max_out: int,
     feats: Optional[jnp.ndarray] = None,
+    groups: Optional[jnp.ndarray] = None,
 ):
     """Downsample to ≤ ``max_out`` voxel centroids.
 
@@ -50,6 +51,14 @@ def voxel_downsample(
       pts: (N,3). mask: (N,) validity. leaf: voxel edge (leaf>0).
       max_out: static output capacity; voxels beyond it (in key order) drop.
       feats: optional (N,F) extra channels averaged alongside xyz.
+      groups: optional (N,) int32 group ids — points in different groups
+        never share a voxel (the reference's PER-RING filtering, ROT
+        Preprocessing.cpp:494-508). Implemented as stable radix-style
+        sorts, not a vmapped program per group (vmapped sorts inflated
+        TPU compile time badly). Capacity overflow drops voxels
+        round-robin across groups (each group keeps its ~max_out/G
+        lowest-key voxels) — group-major order would starve the last
+        rings outright when the scan has more voxels than ``max_out``.
 
     Returns:
       (out (max_out,3), out_mask (max_out,)) or with feats:
@@ -58,12 +67,41 @@ def voxel_downsample(
     N = pts.shape[0]
     key = voxel_keys(pts, leaf, mask)
     key = jnp.where(mask, key, jnp.int32(jnp.iinfo(jnp.int32).max))
-    order = jnp.argsort(key)
+    if groups is None:
+        order = jnp.argsort(key)
+    else:
+        grp = jnp.where(mask, groups.astype(jnp.int32),
+                        jnp.int32(jnp.iinfo(jnp.int32).max))
+        o1 = jnp.argsort(key, stable=True)
+        o2 = jnp.argsort(grp[o1], stable=True)
+        order = o1[o2]
     key_s = key[order]
     pts_s = pts[order]
     valid_s = mask[order]
 
-    starts = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    if groups is None:
+        starts = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    else:
+        grp_s = jnp.where(valid_s, groups.astype(jnp.int32)[order], -1)
+        starts = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (key_s[1:] != key_s[:-1]) | (grp_s[1:] != grp_s[:-1])])
+        # ring-fair capacity: re-order segments by their within-group voxel
+        # rank so every group's rank-0 voxels precede any group's rank-1
+        # voxels. One extra stable sort; same-segment points stay adjacent
+        # (equal rank + stability), so boundary detection below still works.
+        seg_gm = jnp.cumsum(starts.astype(jnp.int32)) - 1  # group-major ids
+        # searchsorted needs ascending input: invalid rows sit at the end,
+        # so give them the +MAX sentinel (grp_s uses -1 for them)
+        grp_sorted = jnp.where(valid_s, grp_s, jnp.int32(jnp.iinfo(jnp.int32).max))
+        first_of_grp = jnp.searchsorted(grp_sorted, grp_sorted, side="left")
+        rank = seg_gm - seg_gm[first_of_grp]
+        o3 = jnp.argsort(jnp.where(valid_s, rank, jnp.int32(2**30)), stable=True)
+        key_s, pts_s, valid_s, grp_s = key_s[o3], pts_s[o3], valid_s[o3], grp_s[o3]
+        order = order[o3]
+        starts = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (key_s[1:] != key_s[:-1]) | (grp_s[1:] != grp_s[:-1])])
     seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1  # 0-based voxel index
     in_cap = (seg_id < max_out) & valid_s
     seg_id_c = jnp.where(in_cap, seg_id, max_out)  # overflow bucket

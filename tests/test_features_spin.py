@@ -199,7 +199,7 @@ class TestPerRingDownsample:
             img[r, :, 2] = 0.05 * r  # within one 0.6 voxel of each other
             valid[r, :] = True
         rel = np.tile(np.linspace(0, 0.999, C)[None], (R, 1))
-        cfg = SpinFeatureConfig(surf_cap=512, per_ring_ds=True, ring_cap=128)
+        cfg = SpinFeatureConfig(surf_cap=512, per_ring_ds=True)
         fc = extract_features_spin(jnp.asarray(img), jnp.asarray(valid),
                                    jnp.asarray(rel), cfg)
         n_pr = int(jnp.sum(fc.surf_mask))

@@ -123,6 +123,52 @@ def test_voxel_downsample_respects_mask_and_cap():
     assert int(m2.sum()) == 0
 
 
+def test_voxel_downsample_grouped_never_merges_across_groups():
+    # identical xyz in two groups -> two output voxels, not one
+    pts = jnp.array([[0.1, 0.1, 0.1], [0.12, 0.1, 0.1],
+                     [0.1, 0.1, 0.1], [0.12, 0.1, 0.1]])
+    groups = jnp.array([0, 0, 1, 1], jnp.int32)
+    out, m = voxel.voxel_downsample(pts, jnp.ones(4, bool), 0.6, max_out=8,
+                                    groups=groups)
+    assert int(m.sum()) == 2
+    np.testing.assert_allclose(np.asarray(out[m]),
+                               [[0.11, 0.1, 0.1]] * 2, atol=1e-6)
+
+
+def test_voxel_downsample_grouped_overflow_is_group_fair():
+    """When voxel count exceeds max_out, drops must round-robin across
+    groups — group-major order would starve the last rings entirely."""
+    rng = np.random.default_rng(0)
+    G, V = 8, 40  # 8 rings x 40 distinct voxels = 320 voxels, cap 64
+    pts, groups = [], []
+    for g in range(G):
+        for v in range(V):
+            pts.append([v * 2.0 + rng.uniform(0, 0.1), g * 0.01, 0.0])
+            groups.append(g)
+    pts = jnp.asarray(np.array(pts))
+    groups = jnp.asarray(np.array(groups, np.int32))
+    out, m = voxel.voxel_downsample(pts, jnp.ones(len(groups), bool), 1.0,
+                                    max_out=64, groups=groups)
+    assert int(m.sum()) == 64
+    # recover each surviving voxel's group from its y coordinate
+    got_groups = np.round(np.asarray(out[m])[:, 1] / 0.01).astype(int)
+    counts = np.bincount(got_groups, minlength=G)
+    assert counts.min() >= 64 // G - 1, counts  # every ring keeps its share
+
+
+def test_voxel_downsample_grouped_invalid_points_ignored():
+    pts = jnp.asarray(np.random.default_rng(1).uniform(-5, 5, (100, 3)))
+    groups = jnp.asarray(np.arange(100, dtype=np.int32) % 4)
+    mask = jnp.asarray(np.arange(100) % 2 == 0)
+    out, m = voxel.voxel_downsample(pts, mask, 0.5, max_out=128, groups=groups)
+    # only valid points contribute: rerun with invalid rows moved far away
+    pts2 = jnp.where(mask[:, None], pts, 1e3)
+    out2, m2 = voxel.voxel_downsample(pts2, mask, 0.5, max_out=128, groups=groups)
+    got = np.sort(np.asarray(out[m]), axis=0)
+    want = np.sort(np.asarray(out2[m2]), axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_remove_close_points():
     pts = jnp.array([[0.05, 0, 0], [5.0, 0, 0], [jnp.nan, 0, 0]])
     m = voxel.remove_close_points(pts, jnp.ones(3, bool), 0.1)
