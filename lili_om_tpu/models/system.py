@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.fusion import FusionConfig, fusion_step, init_fusion_state
-from ..models.odometry import OdometryConfig, init_state as init_odo_state, odometry_step
+from ..models.fusion import (FusionConfig, fusion_step, fusion_step_split,
+                             init_fusion_state)
+from ..models.odometry import (OdometryConfig, init_state as init_odo_state,
+                               odometry_step, odometry_step_split)
 from ..models.pose_graph import (add_loop, add_node, ensure_capacity,
                                  init_graph, optimize_graph_chain)
 from ..ops.features_livox import (
@@ -31,7 +33,7 @@ from ..ops.features_spin import SpinFeatureConfig, extract_features_spin, integr
 from ..factors.lidar import body_points
 from ..ops.icp import icp_point_to_plane
 from ..ops.preintegration import ImuNoise
-from ..ops.voxel import pad_cloud, voxel_downsample
+from ..ops.voxel import pad_cloud, voxel_downsample, voxel_downsample_np
 from ..utils.math import pose_relative, quat_mul, quat_normalize, quat_rotate
 from ..utils.metrics import StageMetrics
 
@@ -61,6 +63,10 @@ class LoopClosureConfig:
     latest_width: int = 1  # 1 Livox (:2474); 6 ROT (:2267)
     icp_thres: float = 0.1  # fitness gate
     icp_iters: int = 20
+    # fitness trim fraction: score the best 70% of NN matches (Trimmed-ICP).
+    # PCL's untrimmed getFitnessScore (trim=1.0, the reference's form) fails
+    # under view-dependent occlusion shadows — see ops/icp.py docstring
+    icp_trim: float = 0.7
     submap_cap: int = 16384
     submap_leaf: float = 0.4
     debounce: float = 0.2  # ROT 0.2 s re-fire gate (:2403)
@@ -82,12 +88,19 @@ class LiliOmSystem:
         q0=None,
         dtype=jnp.float32,
         mesh=None,
+        use_split: bool = False,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` switches the backend to the
         map-sharded multi-chip fusion step (parallel/map_fusion.py) — the
         keyframe ring buffer and local map shard over the mesh, scaling map
         HBM and kNN work 1/n. Requires local_map_width and the map caps
-        divisible by the mesh size."""
+        divisible by the mesh size.
+
+        ``use_split``: route odometry/fusion through the split-dispatch
+        programs (models/{odometry,fusion}.py:*_split) — the kNN launches
+        run standalone, enabling the fused Pallas kernel on TPU without the
+        embedded-custom-call compile blowup. Numerically identical to the
+        single-program path (equivalence-tested); single-chip only."""
         self.odo_cfg = odo_cfg
         self.fusion_cfg = fusion_cfg
         self.feat_cfg = feat_cfg
@@ -97,6 +110,7 @@ class LiliOmSystem:
         self.dtype = dtype
         self.odo_state = init_odo_state(odo_cfg, dtype=dtype)
         self.fusion_state = init_fusion_state(fusion_cfg, noise, q0=q0, dtype=dtype)
+        self.use_split = use_split and mesh is None
         self.mesh = mesh
         self._dist_warm = self._dist_main = None
         if mesh is not None:
@@ -254,7 +268,8 @@ class LiliOmSystem:
         with self.metrics.stage("odometry"):
             # 8 bootstrap rounds for the first two frames (:500-504)
             rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
-            self.odo_state, out = odometry_step(
+            step = odometry_step_split if self.use_split else odometry_step
+            self.odo_state, out = step(
                 self.odo_state, fc.surf_pts, fc.surf_mask, self.odo_cfg,
                 n_rounds=rounds)
         self.n_frames += 1
@@ -331,8 +346,9 @@ class LiliOmSystem:
                 feats=lf.surf_curv[:, None])
         with self.metrics.stage("odometry"):
             rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
-            self.odo_state, out = odometry_step(self.odo_state, surf, surf_mask,
-                                                self.odo_cfg, n_rounds=rounds)
+            step = odometry_step_split if self.use_split else odometry_step
+            self.odo_state, out = step(self.odo_state, surf, surf_mask,
+                                       self.odo_cfg, n_rounds=rounds)
         self.n_frames += 1
         # ONE host transfer for everything this frame's control flow needs
         # (the spin path's single-transfer trick — each extra sync is a ~30 ms
@@ -418,6 +434,10 @@ class LiliOmSystem:
             fn = self._dist_warm if warm else self._dist_main
             self.fusion_state, fout = fn(self.fusion_state, sp, sm, s_refl,
                                          ep, em, dts, accs, gyrs, vmask)
+        elif self.use_split and not warm:
+            self.fusion_state, fout = fusion_step_split(
+                self.fusion_state, sp, sm, s_refl, ep, em,
+                dts, accs, gyrs, vmask, cfg, self.noise)
         else:
             self.fusion_state, fout = fusion_step(
                 self.fusion_state, sp, sm, s_refl, ep, em,
@@ -589,12 +609,14 @@ class LiliOmSystem:
 
         src = self._submap(cur, lc.latest_width - 1, g_t, g_q)
         tgt = self._submap(his, lc.map_width, g_t, g_q)
-        if src[0].shape[0] == 0 or tgt[0].shape[0] == 0:
+        if src[0].shape[0] == 0 or tgt[0].shape[0] == 0 \
+                or not bool(np.asarray(src[1]).any()) \
+                or not bool(np.asarray(tgt[1]).any()):
             return False
         res = icp_point_to_plane(
             src[0], src[1], tgt[0], tgt[1],
             jnp.zeros(3, self.dtype), jnp.array([1.0, 0, 0, 0], self.dtype),
-            n_iters=lc.icp_iters)
+            n_iters=lc.icp_iters, trim=lc.icp_trim)
         if not np.isfinite(float(res.fitness)) or float(res.fitness) > lc.icp_thres:
             return False
 
@@ -636,11 +658,21 @@ class LiliOmSystem:
                     pts.append(w)
         if not pts:
             return np.zeros((0, 3)), np.zeros((0,), bool)
-        allp = jnp.asarray(np.concatenate(pts), self.dtype)
-        mask = jnp.ones((allp.shape[0],), bool)
-        out, out_mask = voxel_downsample(allp, mask, self.lc_cfg.submap_leaf,
-                                         self.lc_cfg.submap_cap)
-        return out, out_mask
+        # host-side exact downsample: the device kernel's capacity overflow
+        # drops voxels in KEY order — a spatially contiguous chunk of the
+        # room vanishes from the submap and ICP fitness explodes on the
+        # uncovered region (measured: fitness 10 m² on a full-overlap
+        # revisit). Over capacity, decimate by stride over the key-sorted
+        # voxel list instead — uniform over the whole extent.
+        cap = self.lc_cfg.submap_cap
+        ds = voxel_downsample_np(np.concatenate(pts), self.lc_cfg.submap_leaf)
+        if len(ds) > cap:
+            ds = ds[:: -(-len(ds) // cap)][:cap]
+        out = np.zeros((cap, 3), np.asarray(ds).dtype)
+        out[: len(ds)] = ds
+        out_mask = np.zeros((cap,), bool)
+        out_mask[: len(ds)] = True
+        return jnp.asarray(out, self.dtype), jnp.asarray(out_mask)
 
     # ------------------------------------------------------------------
     # map export (publishCompleteMap :2644-2685 + save_pcd :2697-2722)

@@ -22,6 +22,20 @@ import jax.numpy as jnp
 _BITS = 10  # cells per axis = 1024 → extent ≤ 1024·leaf (409 m at 0.4 m leaf)
 
 
+def _scramble(key: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic int32 bit-mix of the voxel key ("lowbias32" finalizer) —
+    hash order is spatially uniform, used as the capacity-overflow drop
+    order (see :func:`voxel_downsample`)."""
+    h = key.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    # drop the sign bit so int32 comparison order == uint32 order
+    return (h >> 1).astype(jnp.int32)
+
+
 def voxel_keys(pts: jnp.ndarray, leaf: float, mask: jnp.ndarray) -> jnp.ndarray:
     """int32 packed voxel key per point, relative to the cloud's min cell.
 
@@ -49,7 +63,8 @@ def voxel_downsample(
 
     Args:
       pts: (N,3). mask: (N,) validity. leaf: voxel edge (leaf>0).
-      max_out: static output capacity; voxels beyond it (in key order) drop.
+      max_out: static output capacity; overflow drops voxels in hash-of-key
+        order (spatially uniform decimation — see the note in the body).
       feats: optional (N,F) extra channels averaged alongside xyz.
       groups: optional (N,) int32 group ids — points in different groups
         never share a voxel (the reference's PER-RING filtering, ROT
@@ -67,12 +82,25 @@ def voxel_downsample(
     N = pts.shape[0]
     key = voxel_keys(pts, leaf, mask)
     key = jnp.where(mask, key, jnp.int32(jnp.iinfo(jnp.int32).max))
+    # capacity-overflow drop order: voxels beyond ``max_out`` are dropped in
+    # SCRAMBLE (hash-of-key) order, not key order — key order is spatial, so
+    # key-ordered drops delete a contiguous chunk of the cloud (measured:
+    # loop-closure keyframe clouds each missing a different half of the
+    # room, ICP fitness ~10 m² on a perfect revisit). Hash order decimates
+    # uniformly over the extent at the cost of one extra stable sort.
+    scram = _scramble(key)
+    scram = jnp.where(mask, scram, jnp.int32(jnp.iinfo(jnp.int32).max))
     if groups is None:
-        order = jnp.argsort(key)
+        # sort by key, then stably by scramble: same-key points stay
+        # adjacent (equal scramble + stability), segments ordered by hash
+        o1 = jnp.argsort(key, stable=True)
+        o2 = jnp.argsort(scram[o1], stable=True)
+        order = o1[o2]
     else:
         grp = jnp.where(mask, groups.astype(jnp.int32),
                         jnp.int32(jnp.iinfo(jnp.int32).max))
         o1 = jnp.argsort(key, stable=True)
+        o1 = o1[jnp.argsort(scram[o1], stable=True)]
         o2 = jnp.argsort(grp[o1], stable=True)
         order = o1[o2]
     key_s = key[order]

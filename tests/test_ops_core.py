@@ -156,6 +156,24 @@ def test_voxel_downsample_grouped_overflow_is_group_fair():
     assert counts.min() >= 64 // G - 1, counts  # every ring keeps its share
 
 
+def test_voxel_downsample_overflow_decimates_uniformly():
+    """Capacity overflow must drop voxels spatially uniformly (hash order),
+    not as a contiguous key-ordered chunk — key-ordered drops deleted whole
+    regions of the room from keyframe clouds and broke loop-closure ICP."""
+    # 40x40 grid of occupied voxels, cap keeps only a quarter
+    xs, ys = np.meshgrid(np.arange(40), np.arange(40))
+    pts = jnp.asarray(np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5,
+                                np.zeros(1600)], axis=1))
+    out, m = voxel.voxel_downsample(pts, jnp.ones(1600, bool), 1.0, max_out=400)
+    kept = np.asarray(out[m])
+    assert len(kept) == 400
+    # every 10x10 quadrant block must keep a fair share (~25 of 100)
+    bx = (kept[:, 0] // 10).astype(int)
+    by = (kept[:, 1] // 10).astype(int)
+    counts = np.bincount(bx * 4 + by, minlength=16)
+    assert counts.min() >= 10, counts  # uniform-ish; key order would give 0s
+
+
 def test_voxel_downsample_grouped_invalid_points_ignored():
     pts = jnp.asarray(np.random.default_rng(1).uniform(-5, 5, (100, 3)))
     groups = jnp.asarray(np.arange(100, dtype=np.int32) % 4)

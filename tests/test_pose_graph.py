@@ -106,6 +106,30 @@ class TestIcp:
                                  jnp.zeros(3), jnp.array([1.0, 0, 0, 0.0]), n_iters=3)
         assert float(res.fitness) > 0.1  # reference gate lc_icp_thres=0.1
 
+    def test_trimmed_fitness_survives_partial_overlap(self):
+        """Occlusion shadows make ~25% of a revisit's points unmatched (a
+        viewpoint shift moves shadow boundaries by meters at range). The
+        PCL untrimmed fitness (trim=1) explodes on an aligned pair; the
+        trimmed default scores the overlapping region."""
+        pts = self._cloud(jax.random.PRNGKey(2)).astype(jnp.float64)
+        mask = jnp.ones(pts.shape[0], bool)
+        # src = tgt plus a 25% disjoint "shadow" cluster meters away
+        n_shadow = pts.shape[0] // 3
+        shadow = pts[:n_shadow] + jnp.array([0.0, 8.0, 3.0])
+        src = jnp.concatenate([pts, shadow])
+        smask = jnp.ones(src.shape[0], bool)
+        ident = (jnp.zeros(3), jnp.array([1.0, 0, 0, 0.0]))
+        res_pcl = icp_point_to_plane(src, smask, pts, mask, *ident,
+                                     n_iters=0, trim=1.0)
+        res_trim = icp_point_to_plane(src, smask, pts, mask, *ident,
+                                      n_iters=0, trim=0.7)
+        assert float(res_pcl.fitness) > 1.0  # shadows dominate the PCL score
+        assert float(res_trim.fitness) < 0.05  # overlap region is aligned
+        # a genuinely misaligned pair still fails the trimmed gate
+        res_bad = icp_point_to_plane(src + 2.0, smask, pts, mask, *ident,
+                                     n_iters=0, trim=0.7)
+        assert float(res_bad.fitness) > 0.3
+
 
 class TestChainSolver:
     """The linear-time block-tridiagonal + Woodbury solver must match the
