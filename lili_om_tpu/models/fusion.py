@@ -279,20 +279,10 @@ def edge_fit_and_gate(pts_b, pts_mask, d2, nbrs, cfg: FusionConfig) -> EdgeFacto
     )
 
 
-def default_map_and_match(state: FusionState, ts, qs,
-                          win_surf_b, win_surf_mask, win_surf_refl,
-                          win_edge_b, win_edge_mask, cfg: FusionConfig):
-    """Phase C+E of the per-keyframe step: build the local feature maps from
-    the ring buffer (buildLocalMapWithLandMark :1387-1484, downSampleCloud
-    :1486-1528) and run the flattened-window correspondence searches.
-
-    Split out so the multi-chip path can inject a map-sharded variant
-    (parallel/map_fusion.py) — the map is the big operand; sharding it over
-    the mesh scales both its HBM footprint and the O(Q·P) kNN distance work.
-
-    Returns (surf_batches, edge_batches, enough_map).
-    """
-    W, M = cfg.window, cfg.local_map_width
+def _build_maps(state: FusionState, cfg: FusionConfig):
+    """Local feature maps from the keyframe ring buffer
+    (buildLocalMapWithLandMark :1387-1484, downSampleCloud :1486-1528)."""
+    M = cfg.local_map_width
     hist_world = quat_rotate(state.hist_q[:, None, :], state.hist_surf) + state.hist_t[:, None, :]
     hmask = state.hist_surf_mask & state.hist_valid[:, None]
     map_surf, map_refl, map_surf_mask = voxel_downsample(
@@ -310,6 +300,24 @@ def default_map_and_match(state: FusionState, ts, qs,
     enough_map = (jnp.sum(map_surf_mask.astype(jnp.int32)) > 50) & (
         jnp.sum(map_edge_mask.astype(jnp.int32)) > 0
     )  # (:936)
+    return map_surf, map_refl, map_surf_mask, map_edge, map_edge_mask, enough_map
+
+
+def default_map_and_match(state: FusionState, ts, qs,
+                          win_surf_b, win_surf_mask, win_surf_refl,
+                          win_edge_b, win_edge_mask, cfg: FusionConfig):
+    """Phase C+E of the per-keyframe step: build the local feature maps from
+    the ring buffer and run the flattened-window correspondence searches.
+
+    Split out so the multi-chip path can inject a map-sharded variant
+    (parallel/map_fusion.py) — the map is the big operand; sharding it over
+    the mesh scales both its HBM footprint and the O(Q·P) kNN distance work.
+
+    Returns (surf_batches, edge_batches, enough_map).
+    """
+    W = cfg.window
+    map_surf, map_refl, map_surf_mask, map_edge, map_edge_mask, enough_map = \
+        _build_maps(state, cfg)
 
     # flatten the window: (W,S,3) → (W·S,3); one kNN launch for all
     # window keyframes (they share the map)
@@ -425,36 +433,37 @@ def _retract_window(ts, qs, vs, bas, bgs, delta):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "noise", "warmup", "match_fn"))
-def fusion_step(
-    state: FusionState,
-    surf_pts: jnp.ndarray,  # (Sc,3) lidar frame (frontend-downsampled)
-    surf_mask: jnp.ndarray,
-    surf_refl: jnp.ndarray,  # (Sc,) curvature channel
-    edge_pts: jnp.ndarray,  # (Ec,3)
-    edge_mask: jnp.ndarray,
-    imu_dts: jnp.ndarray,  # (imu_cap,)
-    imu_accs: jnp.ndarray,  # (imu_cap,3)
-    imu_gyrs: jnp.ndarray,  # (imu_cap,3)
-    imu_valid: jnp.ndarray,  # (imu_cap,)
-    cfg: FusionConfig = FusionConfig(),
-    noise: ImuNoise = ImuNoise(),
-    warmup: bool = False,
-    match_fn=None,
-):
-    """Ingest one keyframe: IMU propagate + preintegrate, window shift,
-    local-map correspondence, sliding-window GN, guarded write-back,
-    marginalization, ring-buffer update.
+class FusionMid(NamedTuple):
+    """Device-resident intermediates between the ingest phase (A–E) and the
+    solve phase (F–I) of the per-keyframe step — lets the split-dispatch
+    variant run the kNN launches standalone between two jitted programs."""
 
-    ``warmup`` (static): pass True while the window is not yet full
-    (kf_count+1 < window, the reference's :833 early-out) — the caller
-    knows the keyframe count, so start-up is a separate small compiled
-    program instead of a traced ``cond`` doubling the main program.
+    ts: jnp.ndarray  # (W,3) shifted window states, new keyframe appended
+    qs: jnp.ndarray
+    vs: jnp.ndarray
+    bas: jnp.ndarray
+    bgs: jnp.ndarray
+    preints: Preint
+    hist_surf: jnp.ndarray  # ring buffer post-insert
+    hist_surf_mask: jnp.ndarray
+    hist_surf_refl: jnp.ndarray
+    hist_edge: jnp.ndarray
+    hist_edge_mask: jnp.ndarray
+    hist_valid: jnp.ndarray
+    win_surf_b: jnp.ndarray  # (W,Sc,3) window clouds, extrinsic pre-applied
+    win_surf_mask: jnp.ndarray
+    win_surf_refl: jnp.ndarray
+    win_edge_b: jnp.ndarray
+    win_edge_mask: jnp.ndarray
+    acc0: jnp.ndarray
+    gyr0: jnp.ndarray
 
-    ``match_fn`` (static): map-build + correspondence phase; defaults to
-    :func:`default_map_and_match`. The multi-chip path injects the
-    map-sharded variant (parallel/map_fusion.py).
-    """
+
+def _ingest(state: FusionState, surf_pts, surf_mask, surf_refl,
+            edge_pts, edge_mask, imu_dts, imu_accs, imu_gyrs, imu_valid,
+            cfg: FusionConfig, noise: ImuNoise) -> FusionMid:
+    """Phases A–E: IMU propagate/preintegrate, window shift, ring-buffer
+    insert, window cloud gather + extrinsic pre-apply."""
     W, M = cfg.window, cfg.local_map_width
     dtype = state.t.dtype
     q_lb = jnp.asarray(cfg.q_lb, dtype)
@@ -518,33 +527,43 @@ def fusion_step(
     win_surf_b = jax.vmap(lambda p: body_points(p, t_lb, q_lb))(win_surf)
     win_edge_b = win_edge
 
-    if warmup:
-        zero_plane = PlaneFactorBatch(
-            pts=win_surf_b, normals=jnp.zeros_like(win_surf_b),
-            offsets=jnp.zeros(win_surf_b.shape[:2], dtype),
-            scores=jnp.zeros(win_surf_b.shape[:2], dtype),
-            mask=jnp.zeros(win_surf_b.shape[:2], bool))
-        zero_edge = EdgeFactorBatch(
-            pts=win_edge_b, point_a=jnp.zeros_like(win_edge_b),
-            point_b=jnp.zeros_like(win_edge_b),
-            scores=jnp.zeros(win_edge_b.shape[:2], dtype),
-            mask=jnp.zeros(win_edge_b.shape[:2], bool))
-        surf_batches, edge_batches = zero_plane, zero_edge
-    else:
-        # map build + correspondence search — the map comes from the
-        # PRE-insert ring buffer (the reference's local map excludes the
-        # incoming keyframe, :1387-1484); injectable for the sharded path
-        mf = match_fn or default_map_and_match
-        surf_batches, edge_batches, enough_map = mf(
-            state, ts, qs, win_surf_b, win_surf_mask, win_surf_refl,
-            win_edge_b, win_edge_mask, cfg)
-        # disable lidar factors when the map is too sparse (:936, start-up)
-        surf_batches = surf_batches._replace(
-            mask=surf_batches.mask & enough_map,
-            scores=surf_batches.scores * enough_map.astype(dtype))
-        edge_batches = edge_batches._replace(
-            mask=edge_batches.mask & enough_map,
-            scores=edge_batches.scores * enough_map.astype(dtype))
+    return FusionMid(
+        ts=ts, qs=qs, vs=vs, bas=bas, bgs=bgs, preints=preints,
+        hist_surf=hist_surf, hist_surf_mask=hist_surf_mask,
+        hist_surf_refl=hist_surf_refl,
+        hist_edge=hist_edge, hist_edge_mask=hist_edge_mask,
+        hist_valid=hist_valid,
+        win_surf_b=win_surf_b, win_surf_mask=win_surf_mask,
+        win_surf_refl=win_surf_refl,
+        win_edge_b=win_edge_b, win_edge_mask=win_edge_mask,
+        acc0=acc0, gyr0=gyr0,
+    )
+
+
+def _zero_batches(mid: FusionMid, dtype):
+    """Empty correspondence batches for the warmup (unfilled-window) path."""
+    zero_plane = PlaneFactorBatch(
+        pts=mid.win_surf_b, normals=jnp.zeros_like(mid.win_surf_b),
+        offsets=jnp.zeros(mid.win_surf_b.shape[:2], dtype),
+        scores=jnp.zeros(mid.win_surf_b.shape[:2], dtype),
+        mask=jnp.zeros(mid.win_surf_b.shape[:2], bool))
+    zero_edge = EdgeFactorBatch(
+        pts=mid.win_edge_b, point_a=jnp.zeros_like(mid.win_edge_b),
+        point_b=jnp.zeros_like(mid.win_edge_b),
+        scores=jnp.zeros(mid.win_edge_b.shape[:2], dtype),
+        mask=jnp.zeros(mid.win_edge_b.shape[:2], bool))
+    return zero_plane, zero_edge
+
+
+def _finish(state: FusionState, mid: FusionMid, surf_batches, edge_batches,
+            cfg: FusionConfig, noise: ImuNoise, warmup: bool):
+    """Phases F–I: window GN, guarded write-back, marginalization,
+    ring-buffer pose write-back."""
+    W, M = cfg.window, cfg.local_map_width
+    ts, qs, vs, bas, bgs = mid.ts, mid.qs, mid.vs, mid.bas, mid.bgs
+    preints = mid.preints
+    wi = state.write_idx
+    slots = (wi - (W - 1) + jnp.arange(W)) % M
 
     # --- F: Gauss-Newton over the window tangent ---
     sb_anchor = (vs[:-1], bas[:-1], bgs[:-1])  # pre-solve anchors (:896-903)
@@ -599,21 +618,20 @@ def fusion_step(
         )
         sb_anchor_on = jnp.zeros((), bool)
 
-    # --- I: write optimized window poses back into the ring buffer ---
-    hist_t = state.hist_t.at[wi].set(t_new)  # placeholder, fixed below
-    hist_q = state.hist_q.at[wi].set(q_new)
-    hist_t = hist_t.at[slots].set(ts1)
-    hist_q = hist_q.at[slots].set(qs1)
+    # --- I: write optimized window poses back into the ring buffer
+    # (wi == slots[-1], so the window write covers the new keyframe slot) ---
+    hist_t = state.hist_t.at[slots].set(ts1)
+    hist_q = state.hist_q.at[slots].set(qs1)
 
     new_state = FusionState(
         t=ts1, q=qs1, v=vs1, ba=bas1, bg=bgs1,
         preints=preints, prior=prior, sb_anchor_on=sb_anchor_on,
-        hist_surf=hist_surf, hist_surf_mask=hist_surf_mask,
-        hist_surf_refl=hist_surf_refl,
-        hist_edge=hist_edge, hist_edge_mask=hist_edge_mask,
-        hist_t=hist_t, hist_q=hist_q, hist_valid=hist_valid,
+        hist_surf=mid.hist_surf, hist_surf_mask=mid.hist_surf_mask,
+        hist_surf_refl=mid.hist_surf_refl,
+        hist_edge=mid.hist_edge, hist_edge_mask=mid.hist_edge_mask,
+        hist_t=hist_t, hist_q=hist_q, hist_valid=mid.hist_valid,
         write_idx=(wi + 1) % M, kf_count=state.kf_count + 1,
-        acc0=acc0, gyr0=gyr0,
+        acc0=mid.acc0, gyr0=mid.gyr0,
     )
     out = FusionOut(
         t_latest=ts1[-1], q_latest=qs1[-1],
@@ -623,3 +641,137 @@ def fusion_step(
         n_edge_corr=jnp.sum(edge_batches.mask.astype(jnp.int32)).astype(jnp.int32),
     )
     return new_state, out
+
+
+@partial(jax.jit, static_argnames=("cfg", "noise", "warmup", "match_fn"))
+def fusion_step(
+    state: FusionState,
+    surf_pts: jnp.ndarray,  # (Sc,3) lidar frame (frontend-downsampled)
+    surf_mask: jnp.ndarray,
+    surf_refl: jnp.ndarray,  # (Sc,) curvature channel
+    edge_pts: jnp.ndarray,  # (Ec,3)
+    edge_mask: jnp.ndarray,
+    imu_dts: jnp.ndarray,  # (imu_cap,)
+    imu_accs: jnp.ndarray,  # (imu_cap,3)
+    imu_gyrs: jnp.ndarray,  # (imu_cap,3)
+    imu_valid: jnp.ndarray,  # (imu_cap,)
+    cfg: FusionConfig = FusionConfig(),
+    noise: ImuNoise = ImuNoise(),
+    warmup: bool = False,
+    match_fn=None,
+):
+    """Ingest one keyframe: IMU propagate + preintegrate, window shift,
+    local-map correspondence, sliding-window GN, guarded write-back,
+    marginalization, ring-buffer update.
+
+    ``warmup`` (static): pass True while the window is not yet full
+    (kf_count+1 < window, the reference's :833 early-out) — the caller
+    knows the keyframe count, so start-up is a separate small compiled
+    program instead of a traced ``cond`` doubling the main program.
+
+    ``match_fn`` (static): map-build + correspondence phase; defaults to
+    :func:`default_map_and_match`. The multi-chip path injects the
+    map-sharded variant (parallel/map_fusion.py).
+    """
+    dtype = state.t.dtype
+    mid = _ingest(state, surf_pts, surf_mask, surf_refl, edge_pts, edge_mask,
+                  imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise)
+
+    if warmup:
+        surf_batches, edge_batches = _zero_batches(mid, dtype)
+    else:
+        # map build + correspondence search — the map comes from the
+        # PRE-insert ring buffer (the reference's local map excludes the
+        # incoming keyframe, :1387-1484); injectable for the sharded path
+        mf = match_fn or default_map_and_match
+        surf_batches, edge_batches, enough_map = mf(
+            state, mid.ts, mid.qs, mid.win_surf_b, mid.win_surf_mask,
+            mid.win_surf_refl, mid.win_edge_b, mid.win_edge_mask, cfg)
+        # disable lidar factors when the map is too sparse (:936, start-up)
+        surf_batches = surf_batches._replace(
+            mask=surf_batches.mask & enough_map,
+            scores=surf_batches.scores * enough_map.astype(dtype))
+        edge_batches = edge_batches._replace(
+            mask=edge_batches.mask & enough_map,
+            scores=edge_batches.scores * enough_map.astype(dtype))
+
+    return _finish(state, mid, surf_batches, edge_batches, cfg, noise, warmup)
+
+
+# ---------------------------------------------------------------------------
+# Split-dispatch variant: the two kNN launches (surf + edge) run standalone
+# between a pre- and a post-program. Numerically identical to ``fusion_step``
+# (same traced ops, same order); exists so the fused Pallas kNN kernel can be
+# dispatched top-level — embedding tpu_custom_call inside the single big
+# program blows XLA:TPU compile times through the remote toolchain
+# (docs/PERFORMANCE.md). Intermediates stay on device; dispatch is async.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "noise"))
+def _fusion_pre(state: FusionState, surf_pts, surf_mask, surf_refl,
+                edge_pts, edge_mask, imu_dts, imu_accs, imu_gyrs, imu_valid,
+                cfg: FusionConfig, noise: ImuNoise):
+    """Phases A–E + local-map build + world-frame query flattening."""
+    W = cfg.window
+    Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
+    mid = _ingest(state, surf_pts, surf_mask, surf_refl, edge_pts, edge_mask,
+                  imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise)
+    maps = _build_maps(state, cfg)
+    pw_surf = (quat_rotate(mid.qs[:, None, :], mid.win_surf_b)
+               + mid.ts[:, None, :]).reshape(W * Sc, 3)
+    pw_edge = (quat_rotate(mid.qs[:, None, :], mid.win_edge_b)
+               + mid.ts[:, None, :]).reshape(W * Ec, 3)
+    return mid, maps, pw_surf, pw_edge
+
+
+@partial(jax.jit, static_argnames=("cfg", "noise"))
+def _fusion_post(state: FusionState, mid: FusionMid,
+                 map_surf, map_refl, map_edge, enough_map,
+                 pw_surf, d2_surf, idx_surf, d2_edge, idx_edge,
+                 cfg: FusionConfig, noise: ImuNoise):
+    """Fit + gate on the precomputed k-NN candidates, then phases F–I."""
+    W = cfg.window
+    Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
+    dtype = state.t.dtype
+
+    sb_flat = surf_fit_and_gate(
+        mid.win_surf_b.reshape(W * Sc, 3), pw_surf,
+        mid.win_surf_mask.reshape(W * Sc), mid.win_surf_refl.reshape(W * Sc),
+        d2_surf, map_surf[idx_surf], map_refl[idx_surf], cfg)
+    surf_batches = PlaneFactorBatch(*[a.reshape((W, Sc) + a.shape[1:])
+                                      for a in sb_flat])
+    eb_flat = edge_fit_and_gate(
+        mid.win_edge_b.reshape(W * Ec, 3), mid.win_edge_mask.reshape(W * Ec),
+        d2_edge, map_edge[idx_edge], cfg)
+    edge_batches = EdgeFactorBatch(*[a.reshape((W, Ec) + a.shape[1:])
+                                     for a in eb_flat])
+    surf_batches = surf_batches._replace(
+        mask=surf_batches.mask & enough_map,
+        scores=surf_batches.scores * enough_map.astype(dtype))
+    edge_batches = edge_batches._replace(
+        mask=edge_batches.mask & enough_map,
+        scores=edge_batches.scores * enough_map.astype(dtype))
+    return _finish(state, mid, surf_batches, edge_batches, cfg, noise,
+                   warmup=False)
+
+
+def fusion_step_split(
+    state: FusionState,
+    surf_pts, surf_mask, surf_refl, edge_pts, edge_mask,
+    imu_dts, imu_accs, imu_gyrs, imu_valid,
+    cfg: FusionConfig = FusionConfig(),
+    noise: ImuNoise = ImuNoise(),
+):
+    """``fusion_step`` with the surf/edge kNN as standalone launches
+    (host-chained jitted programs; see the section comment above). Main-path
+    only — the unfilled-window warmup stays on ``fusion_step(warmup=True)``
+    (it runs no correspondence search, so there is nothing to split)."""
+    mid, maps, pw_surf, pw_edge = _fusion_pre(
+        state, surf_pts, surf_mask, surf_refl, edge_pts, edge_mask,
+        imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise)
+    map_surf, map_refl, map_surf_mask, map_edge, map_edge_mask, enough_map = maps
+    d2s, idxs = knn_auto(pw_surf, map_surf, k=cfg.k, p_mask=map_surf_mask)
+    d2e, idxe = knn_auto(pw_edge, map_edge, k=cfg.k, p_mask=map_edge_mask)
+    return _fusion_post(state, mid, map_surf, map_refl, map_edge, enough_map,
+                        pw_surf, d2s, idxs, d2e, idxe, cfg, noise)

@@ -115,7 +115,13 @@ def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryC
     # world-frame query positions under the current estimate
     pw = quat_rotate(q[None, :], scan_q) + t[None, :]
     d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
-    nbrs = map_pts[idx]  # (Q,k,3)
+    return _fit_and_gn(t, q, scan_q, scan_q_mask, pw, map_pts[idx], d2, cfg)
+
+
+def _fit_and_gn(t, q, scan_q, scan_q_mask, pw, nbrs, d2, cfg: OdometryConfig):
+    """Plane fits + gates + ``gn_iters`` GN steps given precomputed k-NN
+    candidates — the round tail shared by the single-program step and the
+    split-dispatch step (which runs the kNN as its own launch)."""
     nn_ok = d2[:, cfg.k - 1] < cfg.nn_gate  # 5th-NN distance gate (:365)
 
     # plane fit over the k neighbors (all valid: masked kNN padding yields
@@ -248,3 +254,105 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
     out = OdometryOut(t=t, q=q, rel_t=out_rel_t, rel_q=out_rel_q,
                       is_keyframe=is_kf, n_corr=n_corr)
     return new_state, out
+
+
+# ---------------------------------------------------------------------------
+# Split-dispatch variant: the kNN runs as its OWN launch between smaller
+# jitted programs. Numerically identical to ``odometry_step``; exists so the
+# fused Pallas kNN kernel (ops/knn_pallas.py) can be dispatched standalone —
+# embedding tpu_custom_call inside the big single-program step blows XLA:TPU
+# compile times through the remote toolchain (docs/PERFORMANCE.md). All
+# intermediates stay on device; dispatch is async, so the extra program
+# boundaries cost enqueue latency only, not transfers.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _odo_prepare(state: OdometryState, surf_pts, surf_mask, cfg: OdometryConfig):
+    """Pose prior + local-map/scan voxel downsample (the pre-matching phase
+    of ``odometry_step``)."""
+    F, S = cfg.n_recent_frames, cfg.scan_cap
+    rel_t, rel_q = pose_relative(state.t_prev, state.q_prev, state.t, state.q)
+    t_guess = state.t + quat_rotate(state.q, rel_t)
+    q_guess = quat_normalize(quat_mul(state.q, rel_q))
+    all_pts = state.frames_pts.reshape(F * S, 3)
+    all_mask = state.frames_mask.reshape(F * S)
+    map_pts, map_mask = voxel_downsample(all_pts, all_mask, cfg.ds_leaf, cfg.map_cap)
+    scan_q, scan_q_mask = voxel_downsample(surf_pts, surf_mask, cfg.ds_leaf, cfg.query_cap)
+    return t_guess, q_guess, scan_q, scan_q_mask, map_pts, map_mask
+
+
+@jax.jit
+def _odo_world(t, q, scan_q):
+    return quat_rotate(q[None, :], scan_q) + t[None, :]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _odo_round_tail(t, q, scan_q, scan_q_mask, pw, map_pts, d2, idx,
+                    cfg: OdometryConfig):
+    return _fit_and_gn(t, q, scan_q, scan_q_mask, pw, map_pts[idx], d2, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _odo_finalize(state: OdometryState, surf_pts, surf_mask,
+                  t_guess, q_guess, t, q, n_corr, cfg: OdometryConfig):
+    """Divergence gate + keyframe decision + ring-buffer insert (the
+    post-matching phase of ``odometry_step``)."""
+    F = cfg.n_recent_frames
+    dtype = surf_pts.dtype
+    diverged = jnp.linalg.norm(t - t_guess) > cfg.max_frame_jump
+    t = jnp.where(diverged, t_guess, t)
+    q = jnp.where(diverged, q_guess, q)
+    q = unify_quaternion(q)
+
+    dis = jnp.linalg.norm(t - state.kf_t)
+    dq = quat_mul(quat_conj(state.kf_q), q)
+    ang = 2.0 * jnp.arccos(jnp.clip(jnp.abs(dq[0]), -1.0, 1.0))
+    since = state.frame_id - state.kf_frame
+    is_kf = (
+        (((dis > cfg.kf_dist) | (ang > cfg.kf_angle)) & (since > 1))
+        | (since > 2)
+        | (state.frame_id <= 1)
+    )
+    kf_t = jnp.where(is_kf, t, state.kf_t)
+    kf_q = jnp.where(is_kf, q, state.kf_q)
+    kf_frame = jnp.where(is_kf, state.frame_id, state.kf_frame)
+
+    out_rel_t, out_rel_q = pose_relative(state.t, state.q, t, q)
+
+    world_scan = quat_rotate(q[None, :], surf_pts) + t[None, :]
+    frames_pts = state.frames_pts.at[state.write_idx].set(world_scan.astype(dtype))
+    frames_mask = state.frames_mask.at[state.write_idx].set(surf_mask)
+
+    new_state = OdometryState(
+        frames_pts=frames_pts,
+        frames_mask=frames_mask,
+        write_idx=(state.write_idx + 1) % F,
+        frame_id=state.frame_id + 1,
+        t=t, q=q, t_prev=state.t, q_prev=state.q,
+        kf_t=kf_t, kf_q=kf_q, kf_frame=kf_frame,
+    )
+    out = OdometryOut(t=t, q=q, rel_t=out_rel_t, rel_q=out_rel_q,
+                      is_keyframe=is_kf, n_corr=n_corr)
+    return new_state, out
+
+
+def odometry_step_split(state: OdometryState, surf_pts, surf_mask,
+                        cfg: OdometryConfig = OdometryConfig(),
+                        n_rounds: int | None = None):
+    """``odometry_step`` with the kNN as a standalone launch per matching
+    round (host-chained jitted programs; see the section comment above).
+    Same signature and results as the single-program step."""
+    if n_rounds is None:
+        n_rounds = cfg.scan_match_cnt
+    t, q, scan_q, scan_q_mask, map_pts, map_mask = _odo_prepare(
+        state, surf_pts, surf_mask, cfg)
+    t_guess, q_guess = t, q
+    n_corr = jnp.zeros((), jnp.int32)
+    for _ in range(n_rounds):
+        pw = _odo_world(t, q, scan_q)
+        d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
+        t, q, n_corr = _odo_round_tail(t, q, scan_q, scan_q_mask, pw,
+                                       map_pts, d2, idx, cfg)
+    return _odo_finalize(state, surf_pts, surf_mask, t_guess, q_guess,
+                         t, q, n_corr, cfg)
