@@ -101,14 +101,8 @@ def main():
     variants = sys.argv[1:] or ["monolith", "split", "split_pallas"]
     scans = make_inputs()
     for v in variants:
-        if v == "split_pallas":
-            os.environ["LILI_OM_PALLAS_KNN"] = "1"
-            import lili_om_tpu.ops.knn as knn_mod
-            knn_mod._PALLAS_KNN = True
-        else:
-            os.environ["LILI_OM_PALLAS_KNN"] = "0"
-            import lili_om_tpu.ops.knn as knn_mod
-            knn_mod._PALLAS_KNN = False
+        import lili_om_tpu.ops.knn as knn_mod
+        knn_mod._PALLAS_KNN = "1" if v == "split_pallas" else "0"
         run_variant(v, scans)
 
 

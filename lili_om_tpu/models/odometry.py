@@ -50,6 +50,14 @@ class OdometryConfig(NamedTuple):
     scan_cap: int = 8192  # surf features per frame (static capacity)
     query_cap: int = 4096  # downsampled scan queries
     map_cap: int = 32768  # downsampled local-map points
+    # per-frame storage in the local-map ring buffer: frames are voxel-
+    # downsampled at ``ds_leaf`` when INSERTED (the reference concats raw
+    # surf clouds and downsamples the union per frame, :280-323; pre-
+    # downsampling each frame at the same leaf halves the N of that
+    # per-frame union downsample — the dominant device cost — at a
+    # centroid-of-centroids approximation the backend path already makes
+    # for its keyframe ring buffer)
+    frame_cap: int = 4096
     ds_leaf: float = 0.4  # voxel leaf for both map & scan (:155-156)
     k: int = 5  # kNN fan-in (:360)
     nn_gate: float = 1.0  # 5th-NN squared... distance gate (d<1.0, :365)
@@ -97,7 +105,7 @@ class OdometryOut(NamedTuple):
 
 
 def init_state(cfg: OdometryConfig, dtype=jnp.float32) -> OdometryState:
-    F, S = cfg.n_recent_frames, cfg.scan_cap
+    F, S = cfg.n_recent_frames, cfg.frame_cap
     qid = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
     z3 = jnp.zeros(3, dtype)
     return OdometryState(
@@ -188,7 +196,7 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
 
     Returns (new_state, OdometryOut).
     """
-    F, S = cfg.n_recent_frames, cfg.scan_cap
+    F, S = cfg.n_recent_frames, cfg.frame_cap
     dtype = surf_pts.dtype
 
     # --- pose prior: propagate last relative motion (:415-442) ---
@@ -238,10 +246,12 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
     # --- /each_odom relative pose (:609-622) ---
     out_rel_t, out_rel_q = pose_relative(state.t, state.q, t, q)
 
-    # --- ring-buffer insert of this frame's surf cloud in world frame ---
+    # --- ring-buffer insert of this frame's surf cloud in world frame,
+    # voxel-downsampled at insert (see the ``frame_cap`` config note) ---
     world_scan = quat_rotate(q[None, :], surf_pts) + t[None, :]
-    frames_pts = state.frames_pts.at[state.write_idx].set(world_scan.astype(dtype))
-    frames_mask = state.frames_mask.at[state.write_idx].set(surf_mask)
+    ws_ds, wm_ds = voxel_downsample(world_scan, surf_mask, cfg.ds_leaf, cfg.frame_cap)
+    frames_pts = state.frames_pts.at[state.write_idx].set(ws_ds.astype(dtype))
+    frames_mask = state.frames_mask.at[state.write_idx].set(wm_ds)
 
     new_state = OdometryState(
         frames_pts=frames_pts,
@@ -271,7 +281,7 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
 def _odo_prepare(state: OdometryState, surf_pts, surf_mask, cfg: OdometryConfig):
     """Pose prior + local-map/scan voxel downsample (the pre-matching phase
     of ``odometry_step``)."""
-    F, S = cfg.n_recent_frames, cfg.scan_cap
+    F, S = cfg.n_recent_frames, cfg.frame_cap
     rel_t, rel_q = pose_relative(state.t_prev, state.q_prev, state.t, state.q)
     t_guess = state.t + quat_rotate(state.q, rel_t)
     q_guess = quat_normalize(quat_mul(state.q, rel_q))
@@ -321,8 +331,9 @@ def _odo_finalize(state: OdometryState, surf_pts, surf_mask,
     out_rel_t, out_rel_q = pose_relative(state.t, state.q, t, q)
 
     world_scan = quat_rotate(q[None, :], surf_pts) + t[None, :]
-    frames_pts = state.frames_pts.at[state.write_idx].set(world_scan.astype(dtype))
-    frames_mask = state.frames_mask.at[state.write_idx].set(surf_mask)
+    ws_ds, wm_ds = voxel_downsample(world_scan, surf_mask, cfg.ds_leaf, cfg.frame_cap)
+    frames_pts = state.frames_pts.at[state.write_idx].set(ws_ds.astype(dtype))
+    frames_mask = state.frames_mask.at[state.write_idx].set(wm_ds)
 
     new_state = OdometryState(
         frames_pts=frames_pts,

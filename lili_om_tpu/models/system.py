@@ -88,7 +88,7 @@ class LiliOmSystem:
         q0=None,
         dtype=jnp.float32,
         mesh=None,
-        use_split: bool = False,
+        use_split: bool | None = None,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` switches the backend to the
         map-sharded multi-chip fusion step (parallel/map_fusion.py) — the
@@ -100,7 +100,8 @@ class LiliOmSystem:
         programs (models/{odometry,fusion}.py:*_split) — the kNN launches
         run standalone, enabling the fused Pallas kernel on TPU without the
         embedded-custom-call compile blowup. Numerically identical to the
-        single-program path (equivalence-tested); single-chip only."""
+        single-program path (equivalence-tested); single-chip only.
+        Default (None): on for the TPU backend, off elsewhere."""
         self.odo_cfg = odo_cfg
         self.fusion_cfg = fusion_cfg
         self.feat_cfg = feat_cfg
@@ -110,6 +111,8 @@ class LiliOmSystem:
         self.dtype = dtype
         self.odo_state = init_odo_state(odo_cfg, dtype=dtype)
         self.fusion_state = init_fusion_state(fusion_cfg, noise, q0=q0, dtype=dtype)
+        if use_split is None:
+            use_split = jax.default_backend() == "tpu"
         self.use_split = use_split and mesh is None
         self.mesh = mesh
         self._dist_warm = self._dist_main = None

@@ -265,8 +265,8 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
         # per-ring filtering (:494-508): each ring downsamples on its own
         # grid — voxels never merge across rings (preserves the vertical
         # structure the reference's downstream fits rely on). Implemented as
-        # ONE group-keyed downsample (an extra stable sort), not a vmapped
-        # program per ring — vmapped sorts inflated TPU compile time badly.
+        # ONE group-keyed downsample (a single ring-mixed hash sort), not a
+        # vmapped program per ring — vmapped sorts inflated TPU compile time.
         ring_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
                                     (R, C)).reshape(-1)
         surf_pts, surf_mask = voxel_downsample(

@@ -126,18 +126,25 @@ def gather_neighbors(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return points[idx]
 
 
-_PALLAS_KNN = os.environ.get("LILI_OM_PALLAS_KNN", "0") == "1"
+# LILI_OM_PALLAS_KNN: "auto" (default) = fused Pallas kernel whenever the
+# call is a TOP-LEVEL dispatch on TPU (the split-dispatch paths); "1" =
+# also inside traced programs; "0" = never.
+_PALLAS_KNN = os.environ.get("LILI_OM_PALLAS_KNN", "auto")
 
 
 def knn_auto(queries, points, k: int = 5, p_mask=None):
     """Backend-dispatching kNN. The fused Pallas kernel (ops/knn_pallas.py)
-    is 2.7× the XLA path in isolation (2.4 vs 6.7 ms for 4096×32768 on one
-    v5e), but embedding tpu_custom_call inside the large jitted pipeline
-    programs blows XLA:TPU compile times from ~30 s to many minutes under
-    the current toolchain — so it is opt-in via LILI_OM_PALLAS_KNN=1 until
-    that is resolved; the default is the tiled-XLA min-extraction path."""
-    if _PALLAS_KNN and jax.default_backend() == "tpu" and queries.dtype == jnp.float32:
-        from .knn_pallas import knn_pallas
+    is ~2× the XLA path (4.0 vs 8.2 ms for 4096×32768, 6.0 vs 11.4 for
+    6144×32768 on one v5e), but embedding tpu_custom_call inside the large
+    jitted pipeline programs blows XLA:TPU compile times from ~30 s to many
+    minutes under the current toolchain. Default policy: Pallas on TPU when
+    dispatched at top level (``queries`` is a concrete array — the
+    split-dispatch production paths), tiled-XLA min-extraction when traced
+    inside a larger program. Override via LILI_OM_PALLAS_KNN=0/1."""
+    if _PALLAS_KNN != "0" and queries.dtype == jnp.float32:
+        top_level = not isinstance(queries, jax.core.Tracer)
+        if (top_level or _PALLAS_KNN == "1") and jax.default_backend() == "tpu":
+            from .knn_pallas import knn_pallas
 
-        return knn_pallas(queries, points, k=k, p_mask=p_mask)
+            return knn_pallas(queries, points, k=k, p_mask=p_mask)
     return knn(queries, points, k=k, p_mask=p_mask)

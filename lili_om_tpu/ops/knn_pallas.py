@@ -78,12 +78,13 @@ def _knn_kernel(q_ref, ptsT_ref, maskinf_ref, out_d_ref, out_i_ref, *, k, tile_p
 
 @partial(jax.jit, static_argnames=("k", "q_block", "tile_p", "interpret"))
 def knn_pallas(queries, points, k: int = 5, p_mask=None,
-               q_block: int = 256, tile_p: int = 2048, interpret: bool = False):
+               q_block: int = 256, tile_p: int = 4096, interpret: bool = False):
     """Exact kNN with the fused Pallas kernel. Same contract as ops.knn.knn:
     returns (d² (Q,k) ascending, idx (Q,k)); masked points never match.
 
     VMEM budget ≈ 2·QB·TB·4 B (distance tile + iota) — q_block=256,
-    tile_p=2048 stays ≈4 MB, safe inside larger jitted programs. f32 only.
+    tile_p=4096 stays ≈8 MB (measured 25 % faster than tile_p=2048: fewer
+    top-k merge rounds per map pass). f32 only.
     """
     Q, P = queries.shape[0], points.shape[0]
     queries = queries.astype(jnp.float32)

@@ -23,17 +23,23 @@ _BITS = 10  # cells per axis = 1024 → extent ≤ 1024·leaf (409 m at 0.4 m le
 
 
 def _scramble(key: jnp.ndarray) -> jnp.ndarray:
-    """Deterministic int32 bit-mix of the voxel key ("lowbias32" finalizer) —
-    hash order is spatially uniform, used as the capacity-overflow drop
-    order (see :func:`voxel_downsample`)."""
+    """Deterministic BIJECTIVE int32 bit-mix of the voxel key ("lowbias32"
+    finalizer: xorshifts and odd-constant multiplies are each invertible
+    mod 2³²) — hash order is spatially uniform, used as the
+    capacity-overflow drop order (see :func:`voxel_downsample`).
+
+    Bijectivity matters: distinct keys always scramble to distinct values,
+    so ONE sort by the scrambled key both keeps same-key points adjacent
+    and orders the voxel segments uniformly over the extent (no second
+    stable sort). The sign bit is flipped so int32 comparison order equals
+    uint32 order of the mix."""
     h = key.astype(jnp.uint32)
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x7FEB352D)
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x846CA68B)
     h = h ^ (h >> 16)
-    # drop the sign bit so int32 comparison order == uint32 order
-    return (h >> 1).astype(jnp.int32)
+    return (h ^ jnp.uint32(0x80000000)).astype(jnp.int32)
 
 
 def voxel_keys(pts: jnp.ndarray, leaf: float, mask: jnp.ndarray) -> jnp.ndarray:
@@ -68,12 +74,12 @@ def voxel_downsample(
       feats: optional (N,F) extra channels averaged alongside xyz.
       groups: optional (N,) int32 group ids — points in different groups
         never share a voxel (the reference's PER-RING filtering, ROT
-        Preprocessing.cpp:494-508). Implemented as stable radix-style
-        sorts, not a vmapped program per group (vmapped sorts inflated
-        TPU compile time badly). Capacity overflow drops voxels
-        round-robin across groups (each group keeps its ~max_out/G
-        lowest-key voxels) — group-major order would starve the last
-        rings outright when the scan has more voxels than ``max_out``.
+        Preprocessing.cpp:494-508). One group-mixed hash sort, not a
+        vmapped program per group (vmapped sorts inflated TPU compile
+        time badly). Capacity overflow drops voxels in hash order, i.e.
+        ~proportionally per group — no group is starved (group-major
+        order would drop the last rings outright when the scan has more
+        voxels than ``max_out``).
 
     Returns:
       (out (max_out,3), out_mask (max_out,)) or with feats:
@@ -87,22 +93,21 @@ def voxel_downsample(
     # key-ordered drops delete a contiguous chunk of the cloud (measured:
     # loop-closure keyframe clouds each missing a different half of the
     # room, ICP fitness ~10 m² on a perfect revisit). Hash order decimates
-    # uniformly over the extent at the cost of one extra stable sort.
-    scram = _scramble(key)
-    scram = jnp.where(mask, scram, jnp.int32(jnp.iinfo(jnp.int32).max))
+    # uniformly over the extent — free, because the scramble is bijective:
+    # ONE sort by it groups same-key points AND hash-orders the segments.
     if groups is None:
-        # sort by key, then stably by scramble: same-key points stay
-        # adjacent (equal scramble + stability), segments ordered by hash
-        o1 = jnp.argsort(key, stable=True)
-        o2 = jnp.argsort(scram[o1], stable=True)
-        order = o1[o2]
+        scram = _scramble(key)
     else:
-        grp = jnp.where(mask, groups.astype(jnp.int32),
-                        jnp.int32(jnp.iinfo(jnp.int32).max))
-        o1 = jnp.argsort(key, stable=True)
-        o1 = o1[jnp.argsort(scram[o1], stable=True)]
-        o2 = jnp.argsort(grp[o1], stable=True)
-        order = o1[o2]
+        # mix the group id into the key before scrambling: distinct
+        # (key, group) pairs keep distinct scrambles (up to one-in-2³²
+        # wraparound coincidences, whose only effect is a split segment →
+        # a duplicated centroid), so ONE sort separates groups too. Hash
+        # order is uniform across groups as well as space, so capacity
+        # overflow drops each group's voxels ~proportionally — no group
+        # starvation (group-major order would starve the last rings).
+        scram = _scramble(key + groups.astype(jnp.int32) * jnp.int32(-1640531527))
+    scram = jnp.where(mask, scram, jnp.int32(jnp.iinfo(jnp.int32).max))
+    order = jnp.argsort(scram, stable=True)
     key_s = key[order]
     pts_s = pts[order]
     valid_s = mask[order]
@@ -111,22 +116,6 @@ def voxel_downsample(
         starts = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
     else:
         grp_s = jnp.where(valid_s, groups.astype(jnp.int32)[order], -1)
-        starts = jnp.concatenate([
-            jnp.ones((1,), bool),
-            (key_s[1:] != key_s[:-1]) | (grp_s[1:] != grp_s[:-1])])
-        # ring-fair capacity: re-order segments by their within-group voxel
-        # rank so every group's rank-0 voxels precede any group's rank-1
-        # voxels. One extra stable sort; same-segment points stay adjacent
-        # (equal rank + stability), so boundary detection below still works.
-        seg_gm = jnp.cumsum(starts.astype(jnp.int32)) - 1  # group-major ids
-        # searchsorted needs ascending input: invalid rows sit at the end,
-        # so give them the +MAX sentinel (grp_s uses -1 for them)
-        grp_sorted = jnp.where(valid_s, grp_s, jnp.int32(jnp.iinfo(jnp.int32).max))
-        first_of_grp = jnp.searchsorted(grp_sorted, grp_sorted, side="left")
-        rank = seg_gm - seg_gm[first_of_grp]
-        o3 = jnp.argsort(jnp.where(valid_s, rank, jnp.int32(2**30)), stable=True)
-        key_s, pts_s, valid_s, grp_s = key_s[o3], pts_s[o3], valid_s[o3], grp_s[o3]
-        order = order[o3]
         starts = jnp.concatenate([
             jnp.ones((1,), bool),
             (key_s[1:] != key_s[:-1]) | (grp_s[1:] != grp_s[:-1])])
