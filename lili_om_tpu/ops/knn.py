@@ -81,6 +81,16 @@ def knn(
     if p_mask is None:
         p_mask = jnp.ones((P,), bool)
 
+    # Re-center by the valid-map centroid: ‖q−p‖² is shift-invariant, but
+    # its matmul expansion ‖q‖²+‖p‖²−2q·p cancels catastrophically — the
+    # error is ~ε·‖q‖·‖p‖ against a signal of ~1 m², so far-from-origin
+    # operation (any long trajectory) corrupts the metric gates. Centering
+    # bounds ‖·‖ by the local-map extent instead of the absolute position.
+    c = (jnp.sum(jnp.where(p_mask[:, None], points, 0.0), axis=0)
+         / jnp.maximum(jnp.sum(p_mask.astype(dtype)), 1.0))
+    queries = queries - c
+    points = points - c
+
     P_pad = ((P + tile_p - 1) // tile_p) * tile_p
     pts = _pad_to(points, P_pad)
     pm = _pad_to(p_mask, P_pad, value=False)
@@ -93,8 +103,12 @@ def knn(
     def tile_step(carry, inp):
         best_d, best_i = carry  # (Q,k), (Q,k)
         tile_pts, tile_mask, tile_idx0 = inp
-        # ‖q−p‖² via MXU matmul
-        cross = queries @ tile_pts.T  # (Q,T)
+        # ‖q−p‖² via MXU matmul. precision=HIGHEST: the TPU default runs
+        # f32 matmuls in reduced-precision passes (~2⁻¹² relative), which
+        # the cancellation above amplifies to meters² — measured indices
+        # right but distances off by ~2 m² at ±40 m coordinates.
+        cross = jnp.matmul(queries, tile_pts.T,
+                           precision=jax.lax.Precision.HIGHEST)  # (Q,T)
         p_norm = jnp.sum(tile_pts * tile_pts, axis=-1)[None, :]  # (1,T)
         d = q_norm + p_norm - 2.0 * cross
         d = jnp.where(tile_mask[None, :], d, INF)

@@ -25,21 +25,32 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
-def _extract_k(d, idx, k):
-    """k min-extraction passes over lanes; selection via broadcast compare
-    (no gathers). d, idx: (QB, L). Returns (QB, k) each."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    best_d = []
-    best_i = []
+# index-packing: the low _IDX_BITS mantissa bits of each f32 distance are
+# replaced by the tile-local lane index. Non-negative IEEE floats order
+# identically to their int32 bit patterns, so ONE integer min-reduction per
+# extraction pass yields value AND index together (the unpacked variant
+# needed min + argmin + a broadcast-compare select — ~2× the VPU passes).
+# Cost: distances are truncated to 2⁻¹² relative (≪ every downstream gate;
+# the 5-NN selection can swap neighbors whose distances agree to 0.02 %,
+# the same class as f32 tie noise).
+# NOTE: all constants below stay PYTHON ints — a jnp.int32(...) scalar
+# created at trace time becomes a captured jaxpr const, which pallas_call
+# rejects ("captures constants"); weak python scalars fold into the ops.
+_IDX_BITS = 12
+_IDX_MASK = (1 << _IDX_BITS) - 1
+_INT_INF = 0x7F800000  # +inf bits (index field clear)
+_INT_MAX = 0x7FFFFFFF
+
+
+def _extract_k_packed(packed, k):
+    """k single-reduction min-extraction passes. packed: (QB, L) int32 with
+    unique low-bit tags per lane (so the suppress compare hits one lane)."""
+    best = []
     for _ in range(k):
-        m = jnp.min(d, axis=1, keepdims=True)  # (QB,1)
-        j = jnp.argmin(d, axis=1).astype(jnp.int32)  # (QB,)
-        hit = cols == j[:, None]
-        sel_i = jnp.sum(jnp.where(hit, idx, 0), axis=1).astype(jnp.int32)
-        best_d.append(m[:, 0])
-        best_i.append(sel_i)
-        d = jnp.where(hit, jnp.inf, d)
-    return jnp.stack(best_d, axis=1), jnp.stack(best_i, axis=1)
+        m = jnp.min(packed, axis=1, keepdims=True)  # (QB,1)
+        best.append(m[:, 0])
+        packed = jnp.where(packed == m, _INT_MAX, packed)
+    return jnp.stack(best, axis=1)  # (QB,k)
 
 
 def _knn_kernel(q_ref, ptsT_ref, maskinf_ref, out_d_ref, out_i_ref, *, k, tile_p):
@@ -52,24 +63,46 @@ def _knn_kernel(q_ref, ptsT_ref, maskinf_ref, out_d_ref, out_i_ref, *, k, tile_p
     P = ptsT_ref.shape[1]
     n_tiles = P // tile_p
     q_norm = jnp.sum(q * q, axis=1, keepdims=True)  # (QB,1)
+    clear = ~_IDX_MASK  # python int: -4096, folds into the bitwise ops
 
     def body(t, carry):
-        best_d, best_i = carry  # (QB, k)
+        best_db, best_i = carry  # (QB,k) int32 distance bits (index field 0), global idx
         ptsT = ptsT_ref[:, pl.ds(t * tile_p, tile_p)]  # (3, TB)
         minf = maskinf_ref[0, pl.ds(t * tile_p, tile_p)]  # (TB,)
+        # precision=HIGHEST: the TPU-default reduced-precision matmul
+        # (~2⁻¹² rel) is amplified to meters² by the ‖q‖²+‖p‖²−2q·p
+        # cancellation (see ops/knn.py) — full f32 passes cost ~µs here
         cross = jax.lax.dot_general(
             q, ptsT, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (QB, TB)
         p_norm = jnp.sum(ptsT * ptsT, axis=0)  # (TB,)
         d = q_norm + (p_norm + minf)[None, :] - 2.0 * cross
-        idx0 = t * tile_p + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        td, ti = _extract_k(d, idx0, k)
-        cat_d = jnp.concatenate([best_d, td], axis=1)  # (QB, 2k)
+        db = jax.lax.bitcast_convert_type(d, jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        tp = _extract_k_packed((db & clear) | lane, k)  # (QB,k)
+        td = tp & clear
+        ti = (tp & _IDX_MASK) + (t * tile_p).astype(jnp.int32)
+        # merge with the carry: re-tag the 2k candidates by position
+        cat_d = jnp.concatenate([best_db, td], axis=1)  # (QB,2k)
         cat_i = jnp.concatenate([best_i, ti], axis=1)
-        return _extract_k(cat_d, cat_i, k)
+        pos = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
+        mp = _extract_k_packed(cat_d | pos, k)  # (QB,k)
+        new_db = mp & clear
+        # decode each winner's position tag back to its global index
+        # (k small 2-D passes — Mosaic-friendly, no 3-D intermediates)
+        cols = []
+        for j in range(k):
+            sel = (mp[:, j:j + 1] & _IDX_MASK) == pos  # (QB,2k)
+            cols.append(jnp.sum(jnp.where(sel, cat_i, 0), axis=1,
+                                dtype=jnp.int32))
+        new_i = jnp.stack(cols, axis=1)
+        return new_db, new_i
 
-    init = (jnp.full((QB, k), jnp.inf, jnp.float32), jnp.zeros((QB, k), jnp.int32))
-    best_d, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
+    init = (jnp.full((QB, k), _INT_INF, jnp.int32),
+            jnp.zeros((QB, k), jnp.int32))
+    best_db, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
+    best_d = jax.lax.bitcast_convert_type(best_db, jnp.float32)
     out_d_ref[:, :k] = best_d
     out_d_ref[:, k:] = jnp.zeros((QB, _LANE - k), jnp.float32)
     out_i_ref[:, :k] = best_i
@@ -86,11 +119,21 @@ def knn_pallas(queries, points, k: int = 5, p_mask=None,
     tile_p=4096 stays ≈8 MB (measured 25 % faster than tile_p=2048: fewer
     top-k merge rounds per map pass). f32 only.
     """
+    if tile_p > 1 << _IDX_BITS:
+        raise ValueError(f"tile_p {tile_p} exceeds the {_IDX_BITS}-bit "
+                         "index-packing budget (max 4096)")
     Q, P = queries.shape[0], points.shape[0]
     queries = queries.astype(jnp.float32)
     points = points.astype(jnp.float32)
     if p_mask is None:
         p_mask = jnp.ones((P,), bool)
+    # re-center by the valid-map centroid — bounds the ‖q‖²+‖p‖²−2q·p
+    # cancellation error by the map extent, not the absolute position
+    # (see ops/knn.py)
+    c = (jnp.sum(jnp.where(p_mask[:, None], points, 0.0), axis=0)
+         / jnp.maximum(jnp.sum(p_mask.astype(jnp.float32)), 1.0))
+    queries = queries - c
+    points = points - c
 
     Qp = -(-Q // q_block) * q_block
     Pp = -(-P // tile_p) * tile_p

@@ -15,11 +15,16 @@ class TestKnnPallas:
         p = jax.random.normal(jax.random.PRNGKey(1), (3000, 3), jnp.float32) * 5
         d_ref, i_ref = knn(q.astype(jnp.float64), p.astype(jnp.float64), k=5)
         d_pl, i_pl = knn_pallas(q, p, k=5, q_block=128, tile_p=512, interpret=True)
-        np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref), rtol=1e-4, atol=1e-4)
-        # indices may differ on exact ties; check distances through indices
+        # the kernel packs the lane index into the low 12 mantissa bits of
+        # each distance (one integer min-reduction per extraction pass), so
+        # returned distances are truncated to 2^-12 relative and neighbor
+        # selection may swap within that band — tolerance 1e-3 rel
+        np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref),
+                                   rtol=1e-3, atol=1e-4)
+        # indices may differ on near-ties; check distances through indices
         gathered = jnp.sum((q[:, None, :] - p[i_pl]) ** 2, axis=-1)
         np.testing.assert_allclose(np.asarray(gathered), np.asarray(d_ref),
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=1e-3, atol=1e-4)
 
     def test_mask_respected(self):
         q = jnp.zeros((4, 3), jnp.float32)
@@ -34,3 +39,23 @@ class TestKnnPallas:
         d, i = knn_pallas(q, p, k=5, q_block=128, tile_p=256, interpret=True)
         assert np.all(np.asarray(i) < 100)
         np.testing.assert_allclose(np.asarray(d), 3.0, rtol=1e-5)
+
+    def test_far_from_origin_accuracy(self):
+        """Regression: the matmul expansion ‖q‖²+‖p‖²−2q·p cancels
+        catastrophically far from the origin — the TPU's default reduced-
+        precision matmul (~2⁻¹² rel) turned into meters² of distance error
+        at ±40 m coordinates (indices survived, metric gates did not).
+        Guarded by re-centering + precision=HIGHEST in BOTH backends; this
+        asserts sub-mm² fidelity vs float64 brute force at a 500 m offset
+        (both backends, any device)."""
+        rng = np.random.default_rng(7)
+        q_np = (rng.uniform(-10, 10, (64, 3)) + 500.0).astype(np.float32)
+        p_np = (rng.uniform(-10, 10, (512, 3)) + 500.0).astype(np.float32)
+        d_true = np.sort(np.sum(
+            (q_np[:, None].astype(np.float64) - p_np[None].astype(np.float64)) ** 2,
+            axis=-1), axis=1)[:, :5]
+        d_x, _ = knn(jnp.asarray(q_np), jnp.asarray(p_np), k=5)
+        np.testing.assert_allclose(np.asarray(d_x), d_true, atol=2e-3)
+        d_p, _ = knn_pallas(jnp.asarray(q_np), jnp.asarray(p_np), k=5,
+                            q_block=128, tile_p=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(d_p), d_true, atol=2e-2)
