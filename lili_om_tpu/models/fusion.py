@@ -51,8 +51,8 @@ from ..ops.preintegration import (
     ImuNoise,
     Preint,
     init_preint,
-    integrate,
-    propagate_world,
+    integrate_parallel,
+    propagate_world_parallel,
     sqrt_info,
 )
 from ..ops.voxel import voxel_downsample
@@ -471,13 +471,18 @@ def _ingest(state: FusionState, surf_pts, surf_mask, surf_refl,
 
     accs = clamp_accel(imu_accs)
 
-    # --- A: IMU propagation from the newest window state (:801-827) ---
-    t_new, q_new, v_new, acc0, gyr0 = propagate_world(
+    # --- A: IMU propagation from the newest window state (:801-827).
+    # Log-depth parallel forms: the sequential scans cost imu_cap dependent
+    # 15×15-matmul rounds of pure latency per keyframe; the associative-scan
+    # forms run the same recursions in ⌈log₂ N⌉ batched rounds
+    # (equivalence-tested vs the scans in tests/test_preintegration.py) ---
+    t_new, q_new, v_new, acc0, gyr0 = propagate_world_parallel(
         state.t[-1], state.q[-1], state.v[-1], state.ba[-1], state.bg[-1],
         noise, state.acc0, state.gyr0, imu_dts, accs, imu_gyrs, imu_valid,
     )
-    pre_new = integrate(noise, state.ba[-1], state.bg[-1], state.acc0, state.gyr0,
-                        imu_dts, accs, imu_gyrs, imu_valid)
+    pre_new = integrate_parallel(
+        noise, state.ba[-1], state.bg[-1], state.acc0, state.gyr0,
+        imu_dts, accs, imu_gyrs, imu_valid)
     # first keyframe: no propagation (no previous interval)
     first = state.kf_count == 0
     t_new = jnp.where(first, state.t[-1], t_new)

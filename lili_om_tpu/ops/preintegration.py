@@ -55,9 +55,9 @@ class ImuNoise(NamedTuple):
         """Gravity vector convention of the reference: -(0,0,g) (Preintegration.h:46)."""
         return jnp.array([0.0, 0.0, -self.g_norm], dtype=dtype)
 
-    def noise_cov(self, dtype=jnp.float32) -> jnp.ndarray:
-        """18×18 diagonal noise covariance (Preintegration.h:48-54)."""
-        d = jnp.array(
+    def noise_diag(self, dtype=jnp.float32) -> jnp.ndarray:
+        """(18,) diagonal of the noise covariance (Preintegration.h:48-54)."""
+        return jnp.array(
             [self.acc_n**2] * 3
             + [self.gyr_n**2] * 3
             + [self.acc_n**2] * 3
@@ -66,7 +66,10 @@ class ImuNoise(NamedTuple):
             + [self.gyr_w**2] * 3,
             dtype=dtype,
         )
-        return jnp.diag(d)
+
+    def noise_cov(self, dtype=jnp.float32) -> jnp.ndarray:
+        """18×18 diagonal noise covariance (Preintegration.h:48-54)."""
+        return jnp.diag(self.noise_diag(dtype))
 
 
 class Preint(NamedTuple):
@@ -99,8 +102,10 @@ def init_preint(ba: jnp.ndarray, bg: jnp.ndarray, noise: ImuNoise, dtype=None) -
     )
 
 
-def _midpoint_step(p: Preint, acc0, gyr0, acc1, gyr1, dt, noise_cov):
-    """One midpoint step: Preintegration.h:79-148 as pure array math."""
+def _midpoint_step(p: Preint, acc0, gyr0, acc1, gyr1, dt, noise_diag):
+    """One midpoint step: Preintegration.h:79-148 as pure array math.
+    ``noise_diag``: (18,) — the noise covariance is diagonal, so
+    ``V·Q·Vᵀ = (V∘q)·Vᵀ`` (one 15×18 scale + one matmul, not two matmuls)."""
     dtype = p.dp.dtype
     un_acc_0 = quat_rotate(p.dq, acc0 - p.ba)
     un_gyr = 0.5 * (gyr0 + gyr1) - p.bg
@@ -153,7 +158,7 @@ def _midpoint_step(p: Preint, acc0, gyr0, acc1, gyr1, dt, noise_cov):
     V = V.at[12:15, 15:18].set(I3 * dt)
 
     jac = F @ p.jacobian
-    cov = F @ p.covariance @ F.T + V @ noise_cov @ V.T
+    cov = F @ p.covariance @ F.T + (V * noise_diag[None, :]) @ V.T
     return Preint(dp1, dq1, dv1, jac, cov, p.ba, p.bg, p.sum_dt + dt)
 
 
@@ -180,7 +185,7 @@ def integrate(
     """
     dtype = jnp.asarray(accs).dtype
     p0 = init_preint(ba, bg, noise, dtype=dtype)
-    ncov = noise.noise_cov(dtype)
+    ncov = noise.noise_diag(dtype)
     if mask is None:
         mask = jnp.ones(dts.shape, bool)
 
@@ -201,6 +206,175 @@ def integrate(
 
 # vmapped form for a whole window of intervals: (W, N, ...) inputs.
 integrate_batch = jax.vmap(integrate, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))
+
+
+# ---------------------------------------------------------------------------
+# Log-depth parallel forms. The sequential scans above cost N (=imu_cap)
+# dependent 15×15-matmul rounds of pure latency per keyframe; the same
+# recursions are associative once the orientation chain is factored out:
+#
+#   dq_k   = dq_{k-1} ⊗ E_k              — quaternion prefix product
+#   jac_k  = F_k · jac_{k-1}             — (A,W) pair composition:
+#   cov_k  = F_k cov_{k-1} F_kᵀ + W_k      (A2A1, A2 W1 A2ᵀ + W2)
+#   dv/dp  = prefix sums of batched per-step terms
+#
+# so `associative_scan` runs them in ⌈log₂N⌉ batched rounds. f32 caveat:
+# re-association changes round-off (~1e-6 relative vs the scan — tested);
+# the per-step quaternion normalization is deferred to the prefix results.
+# Both parallel forms require TRAILING padding (mask=False only at the
+# tail), which is the documented contract of the sequential forms too.
+# ---------------------------------------------------------------------------
+
+
+def _quat_prefix(E: jnp.ndarray) -> jnp.ndarray:
+    """(N,4) per-step unit quats → (N,4) normalized prefix products
+    Q_k = E_1 ⊗ … ⊗ E_k via associative_scan."""
+    Q = jax.lax.associative_scan(quat_mul, E, axis=0)
+    return Q / jnp.linalg.norm(Q, axis=-1, keepdims=True)
+
+
+def _step_inputs(acc0, gyr0, dts, accs, gyrs, mask, dtype):
+    """Shared per-step quantities: masked dt, (a0,g0) previous-sample
+    shifts, midpoint gyro."""
+    dt = jnp.where(mask, dts, 0.0).astype(dtype)
+    a0 = jnp.concatenate([jnp.asarray(acc0, dtype)[None], accs[:-1]], axis=0)
+    g0 = jnp.concatenate([jnp.asarray(gyr0, dtype)[None], gyrs[:-1]], axis=0)
+    return dt, a0, g0
+
+
+def propagate_world_parallel(
+    t, q, v, ba, bg,
+    noise: ImuNoise,
+    acc0, gyr0,
+    dts, accs, gyrs,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """Log-depth :func:`propagate_world` (same contract, trailing padding)."""
+    dtype = jnp.asarray(accs).dtype
+    g = noise.g_vec(dtype)
+    if mask is None:
+        mask = jnp.ones(dts.shape, bool)
+    dt, a0, g0 = _step_inputs(acc0, gyr0, dts, accs, gyrs, mask, dtype)
+
+    un_gyr = 0.5 * (g0 + gyrs) - bg
+    E = jax.vmap(exp_so3)(un_gyr * dt[:, None])
+    Qk = _quat_prefix(E)  # orientation AFTER step k, relative to q
+    q_abs = quat_mul(jnp.broadcast_to(q, Qk.shape), Qk)
+    q_prev = jnp.concatenate([jnp.asarray(q, dtype)[None], q_abs[:-1]], axis=0)
+
+    un_acc = 0.5 * ((quat_rotate(q_prev, a0 - ba) + g)
+                    + (quat_rotate(q_abs, accs - ba) + g))
+    dv_steps = un_acc * dt[:, None]
+    v_k = jnp.asarray(v, dtype) + jnp.cumsum(dv_steps, axis=0)
+    v_prev = jnp.concatenate([jnp.asarray(v, dtype)[None], v_k[:-1]], axis=0)
+    dp_steps = v_prev * dt[:, None] + 0.5 * un_acc * dt[:, None] ** 2
+    t_f = jnp.asarray(t, dtype) + jnp.sum(dp_steps, axis=0)
+
+    # masked (trailing-pad) steps have dt=0 ⇒ identity E, zero dv/dp terms,
+    # so the [-1] entries are already the post-valid-region values; only the
+    # carried last sample needs the valid count
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    any_valid = n_valid > 0
+    last = jnp.maximum(n_valid - 1, 0)
+    q_f = quat_normalize(q_abs[-1])
+    a_last = jnp.where(any_valid, accs[last], jnp.asarray(acc0, dtype))
+    g_last = jnp.where(any_valid, gyrs[last], jnp.asarray(gyr0, dtype))
+    return t_f, q_f, v_k[-1], a_last, g_last
+
+
+def integrate_parallel(
+    noise: ImuNoise,
+    ba, bg,
+    acc0, gyr0,
+    dts, accs, gyrs,
+    mask: Optional[jnp.ndarray] = None,
+) -> Preint:
+    """Log-depth :func:`integrate` (same contract, trailing padding)."""
+    dtype = jnp.asarray(accs).dtype
+    if mask is None:
+        mask = jnp.ones(dts.shape, bool)
+    dt, a0, g0 = _step_inputs(acc0, gyr0, dts, accs, gyrs, mask, dtype)
+    ba = jnp.asarray(ba, dtype)
+    bg = jnp.asarray(bg, dtype)
+
+    un_gyr = 0.5 * (g0 + gyrs) - bg
+    E = jax.vmap(exp_so3)(un_gyr * dt[:, None])
+    dq_k = _quat_prefix(E)  # delta orientation AFTER step k
+    qid = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+    dq_prev = jnp.concatenate([qid[None], dq_k[:-1]], axis=0)
+
+    un_acc = 0.5 * (quat_rotate(dq_prev, a0 - ba) + quat_rotate(dq_k, accs - ba))
+    dv_steps = un_acc * dt[:, None]
+    dv_k = jnp.cumsum(dv_steps, axis=0)
+    dv_prev = jnp.concatenate([jnp.zeros((1, 3), dtype), dv_k[:-1]], axis=0)
+    dp = jnp.sum(dv_prev * dt[:, None] + 0.5 * un_acc * dt[:, None] ** 2, axis=0)
+
+    # batched F/W, then one associative pair-composition scan
+    F, W = jax.vmap(
+        lambda qp, qk, a0_, a1_, ug, dt_: _step_FW(
+            qp, qk, a0_ - ba, a1_ - ba, ug, dt_, noise.noise_diag(dtype))
+    )(dq_prev, dq_k, a0, accs, un_gyr, dt)
+
+    def combine(x, y):
+        A1, W1 = x
+        A2, W2 = y
+        return A2 @ A1, A2 @ W1 @ jnp.swapaxes(A2, -1, -2) + W2
+
+    A_all, W_all = jax.lax.associative_scan(combine, (F, W), axis=0)
+    Atot, Wtot = A_all[-1], W_all[-1]
+    cov = noise.init_cov * (Atot @ Atot.T) + Wtot
+
+    # masked (trailing-pad) steps are exact no-ops (F=I, W=0, E=identity)
+    return Preint(
+        dp=dp, dq=quat_normalize(dq_k[-1]), dv=dv_k[-1],
+        jacobian=Atot, covariance=cov,
+        ba=ba, bg=bg, sum_dt=jnp.sum(dt),
+    )
+
+
+def _step_FW(dq_prev, dq_k, da0, da1, un_gyr, dt, noise_diag):
+    """Batched-form F (15×15) and W = (V∘q)Vᵀ for one midpoint step —
+    identical formulas to :func:`_midpoint_step` (Preintegration.h:114-143)."""
+    dtype = dq_prev.dtype
+    R0 = quat_to_rotmat(dq_prev)
+    R1 = quat_to_rotmat(dq_k)
+    Rw = hat(un_gyr)
+    Ra0 = hat(da0)
+    Ra1 = hat(da1)
+    I3 = jnp.eye(3, dtype=dtype)
+    ImRw = I3 - Rw * dt
+
+    F = jnp.zeros((15, 15), dtype)
+    F = F.at[0:3, 0:3].set(I3)
+    F = F.at[0:3, 3:6].set(-0.25 * (R0 @ Ra0) * dt * dt - 0.25 * (R1 @ Ra1 @ ImRw) * dt * dt)
+    F = F.at[0:3, 6:9].set(I3 * dt)
+    F = F.at[0:3, 9:12].set(-0.25 * (R0 + R1) * dt * dt)
+    F = F.at[0:3, 12:15].set(-0.1667 * (R1 @ Ra1) * dt * dt * (-dt))
+    F = F.at[3:6, 3:6].set(ImRw)
+    F = F.at[3:6, 12:15].set(-I3 * dt)
+    F = F.at[6:9, 3:6].set(-0.5 * (R0 @ Ra0) * dt - 0.5 * (R1 @ Ra1 @ ImRw) * dt)
+    F = F.at[6:9, 6:9].set(I3)
+    F = F.at[6:9, 9:12].set(-0.5 * (R0 + R1) * dt)
+    F = F.at[6:9, 12:15].set(-0.5 * (R1 @ Ra1) * dt * (-dt))
+    F = F.at[9:12, 9:12].set(I3)
+    F = F.at[12:15, 12:15].set(I3)
+
+    V = jnp.zeros((15, 18), dtype)
+    V = V.at[0:3, 0:3].set(0.5 * R0 * dt * dt)
+    v03 = -0.25 * (R1 @ Ra1) * dt * dt * 0.5 * dt
+    V = V.at[0:3, 3:6].set(v03)
+    V = V.at[0:3, 6:9].set(0.5 * R1 * dt * dt)
+    V = V.at[0:3, 9:12].set(v03)
+    V = V.at[3:6, 3:6].set(0.5 * I3 * dt)
+    V = V.at[3:6, 9:12].set(0.5 * I3 * dt)
+    V = V.at[6:9, 0:3].set(0.5 * R0 * dt)
+    v63 = -0.5 * (R1 @ Ra1) * dt * 0.5 * dt
+    V = V.at[6:9, 3:6].set(v63)
+    V = V.at[6:9, 6:9].set(0.5 * R1 * dt)
+    V = V.at[6:9, 9:12].set(v63)
+    V = V.at[9:12, 12:15].set(I3 * dt)
+    V = V.at[12:15, 15:18].set(I3 * dt)
+    return F, (V * noise_diag[None, :]) @ V.T
 
 
 def bias_corrected_deltas(p: Preint, bai: jnp.ndarray, bgi: jnp.ndarray):

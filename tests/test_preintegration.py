@@ -186,3 +186,69 @@ def test_integrate_batch_vmap():
         pi = pre.integrate(NOISE, ba[i], bg[i], accs[i, 0], gyrs[i, 0], dts[i], accs[i], gyrs[i])
         np.testing.assert_allclose(pb.dp[i], pi.dp, atol=1e-12)
         np.testing.assert_allclose(pb.covariance[i], pi.covariance, atol=1e-15)
+
+
+def test_integrate_parallel_matches_scan():
+    """Log-depth associative-scan preintegration == the sequential scan
+    (same math re-associated; f64 here, so round-off is negligible)."""
+    key = jax.random.PRNGKey(11)
+    N = 32
+    accs = jax.random.normal(key, (N, 3)) * 2.0 + jnp.array([0.0, 0.0, 9.8])
+    gyrs = jax.random.normal(jax.random.PRNGKey(12), (N, 3)) * 0.5
+    dts = jnp.full((N,), 0.005)
+    mask = jnp.arange(N) < 25  # trailing padding
+    ba = jnp.array([0.01, -0.02, 0.03])
+    bg = jnp.array([-0.001, 0.002, 0.0005])
+    a0 = jnp.array([0.1, 0.2, 9.7])
+    g0 = jnp.array([0.05, -0.02, 0.01])
+
+    ps = pre.integrate(NOISE, ba, bg, a0, g0, dts, accs, gyrs, mask)
+    pp = pre.integrate_parallel(NOISE, ba, bg, a0, g0, dts, accs, gyrs, mask)
+    np.testing.assert_allclose(pp.dp, ps.dp, atol=1e-10)
+    np.testing.assert_allclose(pp.dq, ps.dq, atol=1e-10)
+    np.testing.assert_allclose(pp.dv, ps.dv, atol=1e-10)
+    np.testing.assert_allclose(pp.jacobian, ps.jacobian, atol=1e-9)
+    np.testing.assert_allclose(pp.covariance, ps.covariance, atol=1e-12)
+    np.testing.assert_allclose(pp.sum_dt, ps.sum_dt, atol=1e-12)
+
+
+def test_propagate_world_parallel_matches_scan():
+    key = jax.random.PRNGKey(13)
+    N = 32
+    accs = jax.random.normal(key, (N, 3)) * 2.0 + jnp.array([0.0, 0.0, 9.8])
+    gyrs = jax.random.normal(jax.random.PRNGKey(14), (N, 3)) * 0.5
+    dts = jnp.full((N,), 0.005)
+    mask = jnp.arange(N) < 29
+    t0 = jnp.array([1.0, -2.0, 0.5])
+    q0 = jnp.asarray(m.quat_normalize(jnp.array([0.9, 0.1, -0.2, 0.3])))
+    v0 = jnp.array([0.5, 0.1, -0.2])
+    ba = jnp.array([0.01, -0.02, 0.03])
+    bg = jnp.array([-0.001, 0.002, 0.0005])
+    a0 = jnp.array([0.1, 0.2, 9.7])
+    g0 = jnp.array([0.05, -0.02, 0.01])
+
+    rs = pre.propagate_world(t0, q0, v0, ba, bg, NOISE, a0, g0, dts, accs, gyrs, mask)
+    rp = pre.propagate_world_parallel(t0, q0, v0, ba, bg, NOISE, a0, g0, dts, accs, gyrs, mask)
+    for a, b in zip(rp, rs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_parallel_forms_all_masked():
+    """Zero valid samples: both parallel forms are exact no-ops."""
+    N = 8
+    z3 = jnp.zeros((N, 3))
+    dts = jnp.full((N,), 0.005)
+    mask = jnp.zeros((N,), bool)
+    a0 = jnp.array([0.0, 0.0, 9.8])
+    g0 = jnp.zeros(3)
+    pp = pre.integrate_parallel(NOISE, jnp.zeros(3), jnp.zeros(3), a0, g0,
+                                dts, z3, z3, mask)
+    np.testing.assert_allclose(pp.dp, 0.0, atol=1e-12)
+    np.testing.assert_allclose(pp.dq, [1, 0, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(pp.jacobian, np.eye(15), atol=1e-12)
+    t, q, v, al, gl = pre.propagate_world_parallel(
+        jnp.ones(3), jnp.array([1.0, 0, 0, 0]), jnp.ones(3), jnp.zeros(3),
+        jnp.zeros(3), NOISE, a0, g0, dts, z3, z3, mask)
+    np.testing.assert_allclose(np.asarray(t), 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(al), np.asarray(a0), atol=1e-12)

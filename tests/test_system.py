@@ -87,6 +87,32 @@ class TestSystemWiring:
         assert int(sys_.graph.n_loops) == 0
 
 
+class TestSplitWiring:
+    def test_use_split_system_matches_monolith(self):
+        """LiliOmSystem(use_split=True) — the TPU default wiring — must
+        reproduce the single-program trajectory (here forced on CPU, where
+        knn_auto stays on the XLA path, so this isolates the system-level
+        split wiring from the Pallas kernel)."""
+        world = make_room_world()
+        traj = circle_trajectory(radius=8.0, period=40.0)
+        pattern = spinning_pattern(n_rings=R, n_cols=C)
+        imu = simulate_imu(traj, 0.0, 8 * PERIOD + PERIOD, rate=200.0)
+        trajs = []
+        for use_split in (False, True):
+            sys_ = make_system()
+            sys_.use_split = use_split
+            sys_.push_imu(np.asarray(imu.stamps), np.asarray(imu.accs),
+                          np.asarray(imu.gyrs))
+            for k in range(8):
+                ts = k * PERIOD
+                scan = simulate_scan(world, traj, ts, pattern, period=PERIOD)
+                sys_.process_scan(scan.pts.reshape(R, C, 3),
+                                  scan.valid.reshape(R, C),
+                                  scan.rel_time.reshape(R, C), ts)
+            trajs.append(np.asarray(sys_.trajectory))
+        np.testing.assert_allclose(trajs[0], trajs[1], atol=1e-9)
+
+
 class TestLivoxPipeline:
     def test_livox_end_to_end(self):
         """Livox variant: rosette scans → eigen-patch features → odometry →
