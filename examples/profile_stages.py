@@ -92,6 +92,24 @@ def main():
     timeit("features (global ds)", lambda: extract_features_spin(img, valid, rel, fcfg_g),
            sync=lambda o: np.asarray(o.surf_pts[0]))
 
+    # features internals
+    from lili_om_tpu.ops import features_spin as FS
+    from lili_om_tpu.ops.voxel import voxel_downsample
+    curv_j = jax.jit(FS.curvature_image, static_argnames=("window",))
+    timeit("  curvature stencil", lambda: curv_j(img, valid, window=5),
+           sync=lambda o: np.asarray(o[0][0, 0]))
+    curv, win_ok = curv_j(img, valid, window=5)
+    nms_j = jax.jit(FS._local_extremum, static_argnames=("radius", "mode"))
+    timeit("  NMS (one mode)", lambda: nms_j(curv, win_ok, radius=5, mode="max"),
+           sync=lambda o: np.asarray(o[0, 0]))
+    ring_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                                (R, C)).reshape(-1)
+    timeit("  per-ring voxel ds 115k",
+           lambda: voxel_downsample(img.reshape(-1, 3), valid.reshape(-1),
+                                    fcfg.ds_leaf, fcfg.surf_cap,
+                                    groups=ring_ids),
+           sync=lambda o: np.asarray(o[0][0]))
+
     prep = O._odo_prepare(ostate, fc.surf_pts, fc.surf_mask, ocfg)
     t_g, q_g, scan_q, scan_m, map_pts, map_mask = prep
     timeit("odo prepare (2 voxel ds)",

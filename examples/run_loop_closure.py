@@ -44,7 +44,11 @@ def main():
     # undistortion leaves translation distortion uncorrected, so faster
     # motion degrades the frontend, same as the reference)
     world = make_room_world()
-    period_s = (n - 30) * PERIOD
+    # cap the lap time so long runs do MULTIPLE laps — each revisit is a
+    # loop-closure opportunity that bounds drift (one lap spanning the whole
+    # run would only revisit the start in the final frames, after drift has
+    # escaped the search radius)
+    period_s = min((n - 30) * PERIOD, 75.0)
     radius = min(6.0, 1.3 * period_s / (2 * 3.14159))
     traj = circle_trajectory(radius=radius, period=period_s, speed_up=3.0)
     pattern = spinning_pattern(n_rings=R, n_cols=C)

@@ -70,6 +70,14 @@ class LoopClosureConfig:
     submap_cap: int = 16384
     submap_leaf: float = 0.4
     debounce: float = 0.2  # ROT 0.2 s re-fire gate (:2403)
+    # plausibility gate on the ICP-implied correction of the latest pose
+    # (beyond reference — its only protection is the fitness gate,
+    # :2581): a candidate detected within ``search_radius`` of the current
+    # estimate cannot need a correction much larger than that radius; a
+    # bigger one is an aliased alignment (e.g. point-to-plane sliding along
+    # a symmetric wall), which a fitness score cannot catch. None = auto
+    # (2·search_radius).
+    max_correction: float | None = None
 
 
 class LiliOmSystem:
@@ -151,6 +159,13 @@ class LiliOmSystem:
         # undistortion (see ops.features_spin.undistort); off by default
         # for exact reference parity
         self.deskew_translation = False
+        # physical bound on the constant-velocity sweep-deskew translation
+        # (m per sweep; 1.0 = 10 m/s at 10 Hz). Unbounded deskew is a
+        # positive-feedback runaway: one bad relative estimate warps the
+        # next sweep consistently, which matches the consistently-smeared
+        # local map at the same wrong velocity (measured: 11 m/s frontend
+        # runaway on the 2000-frame loop demo).
+        self.max_sweep_translation = 1.0
         self._last_rel_t = np.zeros(3)
         # hierarchical local pose graph (buildLocalPoseGraph): densified
         # every-frame poses between consecutive keyframes
@@ -286,7 +301,11 @@ class LiliOmSystem:
         self.trajectory.append(summary[0:3])
         self._frame_stamps.append(stamp)
         if self.deskew_translation:
-            self._last_rel_t = summary[3:6]
+            rt = summary[3:6]
+            nrm = float(np.linalg.norm(rt))
+            if nrm > self.max_sweep_translation:  # see __init__ note
+                rt = rt * (self.max_sweep_translation / nrm)
+            self._last_rel_t = rt
         # feature-starvation watchdog: zero correspondences for several
         # consecutive frames means a mis-configured ring/column mapping (or a
         # degenerate scene) — the reference only prints "Not enough feature
@@ -365,7 +384,11 @@ class LiliOmSystem:
         self.trajectory.append(summary[0:3])
         self._frame_stamps.append(stamp)
         if self.deskew_translation:
-            self._last_rel_t = summary[3:6]
+            rt = summary[3:6]
+            nrm = float(np.linalg.norm(rt))
+            if nrm > self.max_sweep_translation:  # see __init__ note
+                rt = rt * (self.max_sweep_translation / nrm)
+            self._last_rel_t = rt
         if int(summary[7]) == 0 and self.n_frames > 2:
             self._starved_frames += 1
             if self._starved_frames in (3, 50, 500):
@@ -628,6 +651,10 @@ class LiliOmSystem:
         q_lat = jnp.asarray(g_q[cur], self.dtype)
         t_corr = quat_rotate(res.q, t_lat) + res.t
         q_corr = quat_normalize(quat_mul(res.q, q_lat))
+        # plausibility gate (see LoopClosureConfig.max_correction)
+        max_corr = lc.max_correction or 2.0 * lc.search_radius
+        if float(np.linalg.norm(np.asarray(t_corr) - g_t[cur])) > max_corr:
+            return False
         # measured relative pose latest→his from the corrected latest pose
         rel_t, rel_q = pose_relative(t_corr, q_corr,
                                      jnp.asarray(g_t[his], self.dtype),

@@ -123,16 +123,21 @@ def voxel_downsample(
     in_cap = (seg_id < max_out) & valid_s
     seg_id_c = jnp.where(in_cap, seg_id, max_out)  # overflow bucket
 
+    # ONE segment-sum over [xyz | feats | 1]: the count rides as an extra
+    # channel instead of separate xyz/feat/count reductions
     ones = in_cap.astype(pts.dtype)
-    cnt = jax.ops.segment_sum(ones, seg_id_c, num_segments=max_out + 1)[:max_out]
-    sums = jax.ops.segment_sum(pts_s * ones[:, None], seg_id_c, num_segments=max_out + 1)[:max_out]
-    out_mask = cnt > 0
-    out = sums / jnp.maximum(cnt, 1.0)[:, None]
-    out = jnp.where(out_mask[:, None], out, 0.0)
+    payload = [pts_s]
     if feats is not None:
-        feats_s = feats[order]
-        fsums = jax.ops.segment_sum(feats_s * ones[:, None], seg_id_c, num_segments=max_out + 1)[:max_out]
-        fout = jnp.where(out_mask[:, None], fsums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
+        payload.append(feats[order])
+    payload.append(ones[:, None])
+    stacked = jnp.concatenate(payload, axis=1) * ones[:, None]
+    sums = jax.ops.segment_sum(stacked, seg_id_c, num_segments=max_out + 1)[:max_out]
+    cnt = sums[:, -1]
+    out_mask = cnt > 0
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    out = jnp.where(out_mask[:, None], sums[:, 0:3] / denom, 0.0)
+    if feats is not None:
+        fout = jnp.where(out_mask[:, None], sums[:, 3:-1] / denom, 0.0)
         return out, fout, out_mask
     return out, out_mask
 
