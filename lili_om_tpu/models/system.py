@@ -204,6 +204,17 @@ class LiliOmSystem:
         self.fusion_state = self.fusion_state._replace(q=jnp.tile(q, (W, 1)))
         return True
 
+    # unconsumed-backlog bound: ~14 min at 200 Hz (2.2 MB). CONSUMED samples
+    # are trimmed as keyframes integrate past them (_trim_imu) — the
+    # reference pops imu_buf the same way (processIMU). A push-time cap of
+    # the reference's 600 (or round-1's 4096) silently discarded everything
+    # but the last ~20 s when a caller pushed a whole run's stream up front,
+    # starving every early keyframe interval: an EMPTY preintegration's
+    # factor pins consecutive poses together with enormous confidence, so
+    # the backend froze at the origin until the retained window was reached
+    # (measured: diag_backend woke at exactly t_end − 4096/200 Hz).
+    IMU_BACKLOG_CAP = 1 << 18
+
     def push_imu(self, stamps, accs, gyrs):
         """Append IMU samples (monotone stamps). Push ahead of the scans they
         cover — the reference's 2-scan delay queue exists for the same reason
@@ -211,11 +222,26 @@ class LiliOmSystem:
         self._imu_stamps = np.concatenate([self._imu_stamps, np.atleast_1d(stamps)])
         self._imu_accs = np.concatenate([self._imu_accs, np.atleast_2d(accs)])
         self._imu_gyrs = np.concatenate([self._imu_gyrs, np.atleast_2d(gyrs)])
-        # bound the buffer (reference caps imu_buf at 600)
-        if len(self._imu_stamps) > 4096:
-            self._imu_stamps = self._imu_stamps[-4096:]
-            self._imu_accs = self._imu_accs[-4096:]
-            self._imu_gyrs = self._imu_gyrs[-4096:]
+        if len(self._imu_stamps) > self.IMU_BACKLOG_CAP:
+            import warnings
+
+            warnings.warn(
+                f"IMU backlog {len(self._imu_stamps)} exceeds "
+                f"{self.IMU_BACKLOG_CAP} samples — dropping oldest; early "
+                "keyframe intervals will integrate no IMU")
+            self._imu_stamps = self._imu_stamps[-self.IMU_BACKLOG_CAP:]
+            self._imu_accs = self._imu_accs[-self.IMU_BACKLOG_CAP:]
+            self._imu_gyrs = self._imu_gyrs[-self.IMU_BACKLOG_CAP:]
+
+    def _trim_imu(self, before: float):
+        """Drop consumed samples (stamp ≤ ``before``): every consumer —
+        keyframe preintegration, scan undistortion, densification — only
+        slices forward of the last processed keyframe."""
+        n_drop = int(np.searchsorted(self._imu_stamps, before, side="right"))
+        if n_drop > 0:
+            self._imu_stamps = self._imu_stamps[n_drop:]
+            self._imu_accs = self._imu_accs[n_drop:]
+            self._imu_gyrs = self._imu_gyrs[n_drop:]
 
     def _imu_slice(self, t0: float, t1: float):
         """Samples with t0 < stamp ≤ t1, plus dts (first dt from t0)."""
@@ -469,6 +495,7 @@ class LiliOmSystem:
                 self.fusion_state, sp, sm, s_refl, ep, em,
                 dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm)
 
+        self.last_fusion_out = fout  # device refs; diagnostics materialize on use
         self.graph = ensure_capacity(self.graph, len(self.kf_stamps) + 1)
         self.graph = add_node(self.graph, fout.t_latest, fout.q_latest)
         if self.densify_frames:
@@ -489,6 +516,9 @@ class LiliOmSystem:
             self.kf_full_clouds.append((fp, fm))
         else:
             self.kf_full_clouds.append((sp, sm))
+        # consume the integrated samples (reference pops imu_buf the same
+        # way); one scan period of margin for sweep-boundary undistortion
+        self._trim_imu(stamp - self.scan_period)
 
     def _kf_cloud_np(self, i: int, archive=None) -> np.ndarray:
         """Materialize archived keyframe cloud i (lazy device→host)."""

@@ -199,19 +199,21 @@ def curvature_image(img: jnp.ndarray, valid: jnp.ndarray, window: int = 5):
 def _local_extremum(curv: jnp.ndarray, ok: jnp.ndarray, radius: int, mode: str):
     """Non-maximum/minimum suppression along rings: a pick candidate must be
     the extremum of its ±radius window — the branch-free equivalent of the
-    greedy ``cloudNeighborPicked`` suppression (:434-451)."""
+    greedy ``cloudNeighborPicked`` suppression (:434-451). One
+    ``reduce_window`` pass instead of 2·radius shift+select passes
+    (x == window-extremum ⟺ x ⋛ the extremum of its neighbors; ties pass
+    in both formulations)."""
     if mode == "max":
-        fill, red, cmp = -jnp.inf, jnp.maximum, lambda a, b: a >= b
+        fill, red = -jnp.inf, jax.lax.max
         x = jnp.where(ok, curv, -jnp.inf)
     else:
-        fill, red, cmp = jnp.inf, jnp.minimum, lambda a, b: a <= b
+        fill, red = jnp.inf, jax.lax.min
         x = jnp.where(ok, curv, jnp.inf)
-    ext = x
-    for s in range(-radius, radius + 1):
-        if s == 0:
-            continue
-        ext = red(ext, _shift(x, s, axis=1, fill=fill))
-    return ok & cmp(x, ext)
+    ext = jax.lax.reduce_window(
+        x, jnp.asarray(fill, x.dtype), red,
+        window_dimensions=(1, 2 * radius + 1), window_strides=(1, 1),
+        padding=((0, 0), (radius, radius)))
+    return ok & (x == ext)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -231,3 +231,23 @@ class TestElasticRecovery:
         assert np.all(np.isfinite(np.asarray(fs2.t)))
         np.testing.assert_allclose(np.asarray(fs2.t[0]), [1.0, 2.0, 0.0])
         assert not bool(fs2.prior.valid)
+
+
+class TestImuBuffer:
+    def test_bulk_push_ahead_is_not_truncated(self):
+        """Regression: a push-time cap (round-1: newest 4096 samples)
+        silently discarded all but the last ~20 s when a caller pushed a
+        whole run's IMU stream up front — every early keyframe interval got
+        an EMPTY slice, and an empty preintegration's factor pins
+        consecutive poses together with enormous confidence (the backend
+        froze at the origin until the retained window was reached).
+        Consumption now trims the buffer as keyframes integrate past it."""
+        sys_ = make_system()
+        t = np.arange(0, 30.0, 0.005)  # 6000 samples, 30 s at 200 Hz
+        sys_.push_imu(t, np.zeros((len(t), 3)), np.zeros((len(t), 3)))
+        assert sys_._imu_slice(0.1, 0.2) is not None  # old cap dropped these
+        assert sys_._imu_slice(25.0, 25.1) is not None
+        # consumption trimming: keyframe at t=1.0 drops integrated samples
+        sys_._trim_imu(1.0)
+        assert sys_._imu_slice(0.1, 0.2) is None
+        assert sys_._imu_slice(1.0, 1.1) is not None
