@@ -311,3 +311,48 @@ def solve_psd(A: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> jnp.ndarr
     L = jnp.linalg.cholesky(A)
     y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
     return jax.scipy.linalg.solve_triangular(L.T if L.ndim == 2 else jnp.swapaxes(L, -1, -2), y, lower=False)
+
+
+# ---------------------------------------------------------------------------
+# numpy twins for HOST paths (loop-closure correction, evaluation, IO): the
+# jnp versions above round-trip every call through the device — on a
+# remote-attached runtime each eager op is an RPC, so per-frame host loops
+# over them cost ~30 ms/op (measured: the dense-trajectory re-chain made
+# each loop-closure correction take ~25 s).
+# ---------------------------------------------------------------------------
+
+
+def quat_mul_np(q1, q2):
+    """Batched Hamilton product, numpy, (...,4) wxyz."""
+    import numpy as np
+
+    w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def quat_conj_np(q):
+    import numpy as np
+
+    return q * np.array([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
+def quat_normalize_np(q):
+    import numpy as np
+
+    return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def quat_rotate_np(q, v):
+    """Rotate (...,3) vectors by (...,4) quats, numpy."""
+    import numpy as np
+
+    w = q[..., :1]
+    u = q[..., 1:]
+    t = 2.0 * np.cross(u, v)
+    return v + w * t + np.cross(u, t)
