@@ -541,15 +541,17 @@ class LiliOmSystem:
         if len(c) == 0:
             return c.reshape(0, 3)
         cfg = self.fusion_cfg
-        q_lb = np.asarray(cfg.q_lb)
-        t_lb = np.asarray(cfg.t_lb)
-        cb = np.asarray(body_points(jnp.asarray(c, self.dtype),
-                                    jnp.asarray(t_lb, self.dtype),
-                                    jnp.asarray(q_lb, self.dtype)))
-        w = quat_rotate(jnp.broadcast_to(jnp.asarray(g_q[i], self.dtype),
-                                         (cb.shape[0], 4)),
-                        jnp.asarray(cb, self.dtype)) + jnp.asarray(g_t[i], self.dtype)
-        return np.asarray(w)
+        # pure numpy: this runs per keyframe per submap per closure (and
+        # over every keyframe in build_global_map) — each eager jnp op here
+        # was a device RPC on remote-attached runtimes
+        from ..utils.math import quat_conj_np, quat_rotate_np
+
+        q_lb = np.asarray(cfg.q_lb, c.dtype)
+        t_lb = np.asarray(cfg.t_lb, c.dtype)
+        cb = quat_rotate_np(quat_conj_np(q_lb)[None, :], c - t_lb[None, :])
+        return quat_rotate_np(np.broadcast_to(np.asarray(g_q[i], c.dtype),
+                                              (cb.shape[0], 4)), cb) \
+            + np.asarray(g_t[i], c.dtype)
 
     # ------------------------------------------------------------------
     # failure detection / elastic recovery (absent in the reference,
