@@ -64,7 +64,13 @@ def hot_path_accounting(ocfg, bcfg, n_odo_rounds: int, pallas_knn: bool):
     def knn(Q, P):
         flops = 6 * Q * P  # |q−p|² via the Q×3×P matmul
         if pallas_knn:
-            bytes_ = 4 * (3 * Q + 3 * P + 2 * k * Q)  # operands + (d,i) out
+            # operands + (d,i) out. The full (3,P) points block has a
+            # constant index map over the q-block grid, so Mosaic's pipeline
+            # keeps it VMEM-resident across grid steps (it fits: 3·P·4 B ≤
+            # 0.4 MB); if it were re-fetched per step the points term would
+            # be ×ceil(Q/q_block). We count the resident (single-fetch)
+            # model and flag the assumption here.
+            bytes_ = 4 * (3 * Q + 3 * P + 2 * k * Q)
         else:
             bytes_ = 4 * Q * P * (1 + (k + 1))  # write D once, re-read (k+1)×
         return flops, bytes_

@@ -163,5 +163,10 @@ def knn_pallas(queries, points, k: int = 5, p_mask=None,
     )(qpad, ptsT, maskinf)
 
     d = jnp.maximum(out_d[:Q, :k], 0.0)
+    # contract (ops/knn.py:76): insufficient-neighbor slots return idx=0.
+    # Masked/padded lanes carry d=+inf out of the kernel (the additive mask
+    # keeps the tag-cleared +inf bit pattern through every merge), so this
+    # one select also scrubs any masked-point lane index a +inf slot picked
+    # up inside a tile's extraction pass.
     i = jnp.where(jnp.isfinite(d), out_i[:Q, :k], 0)
     return d, i

@@ -98,14 +98,19 @@ def voxel_downsample(
     if groups is None:
         scram = _scramble(key)
     else:
-        # mix the group id into the key before scrambling: distinct
-        # (key, group) pairs keep distinct scrambles (up to one-in-2³²
-        # wraparound coincidences, whose only effect is a split segment →
-        # a duplicated centroid), so ONE sort separates groups too. Hash
-        # order is uniform across groups as well as space, so capacity
-        # overflow drops each group's voxels ~proportionally — no group
-        # starvation (group-major order would starve the last rings).
-        scram = _scramble(key + groups.astype(jnp.int32) * jnp.int32(-1640531527))
+        # mix the group id AFTER a first scramble round: per group the map
+        # key→scramble stays bijective (composition of bijections), so ONE
+        # sort separates groups; cross-group collisions require
+        # scramble(key₂) == scramble(key₁) ^ (Δg·c) — a pseudo-random
+        # 32-bit coincidence, not a linear key relation (a single additive
+        # pre-mix collided deterministically whenever
+        # key₁−key₂ ≡ Δg·c mod 2³², e.g. Δg=2 hit in-range key deltas;
+        # a collision's only effect is a split segment → one duplicated
+        # centroid). Hash order stays uniform across groups as well as
+        # space, so capacity overflow drops each group's voxels
+        # ~proportionally — no group starvation.
+        scram = _scramble(_scramble(key)
+                          ^ (groups.astype(jnp.int32) * jnp.int32(-1640531527)))
     scram = jnp.where(mask, scram, jnp.int32(jnp.iinfo(jnp.int32).max))
     order = jnp.argsort(scram, stable=True)
     key_s = key[order]

@@ -33,6 +33,21 @@ class TestKnnPallas:
         d, i = knn_pallas(q, p, k=5, p_mask=mask, q_block=128, tile_p=256, interpret=True)
         assert np.all(np.asarray(i) % 2 == 0)
 
+    def test_insufficient_neighbors_idx_zero(self):
+        """Contract parity with ops/knn.py:76 — when a query has fewer than
+        k valid map points, the surplus slots return d=+inf AND idx=0 (never
+        the lane index of a masked/padded point)."""
+        pts = jnp.array([[0.0, 0, 0], [1, 0, 0], [2, 0, 0],
+                         [9, 9, 9], [8, 8, 8]], jnp.float32)
+        mask = jnp.array([True, True, True, False, False])
+        q = jnp.array([[0.1, 0, 0], [5.0, 5, 5]], jnp.float32)
+        d, i = knn_pallas(q, pts, k=5, p_mask=mask, q_block=128, tile_p=256,
+                          interpret=True)
+        d, i = np.asarray(d), np.asarray(i)
+        assert np.all(~np.isfinite(d[:, 3:]))
+        assert np.all(i[:, 3:] == 0)
+        assert np.all(i[:, :3] < 3)  # finite slots never reference masked pts
+
     def test_padding_regions_never_match(self):
         q = jnp.zeros((10, 3), jnp.float32)  # → padded to 128
         p = jnp.ones((100, 3), jnp.float32)  # → padded to 256
