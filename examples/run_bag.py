@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--internal-imu", action="store_true",
                     help="Livox internal IMU: g→m/s² + gravity-align init")
+    ap.add_argument("--serial", action="store_true",
+                    help="inline single-thread processing (no pipeline overlap)")
     args = ap.parse_args()
 
     import jax
@@ -50,11 +52,20 @@ def main():
     rings = args.rings or (64 if "fr_iosb_rot" in args.preset else
                            32 if ("utbm" in args.preset or "hk" in args.preset)
                            else 16)
+    from lili_om_tpu.runtime.pipeline import PipelineRunner
+
     sys_ = LiliOmSystem(
         odo_cfg=cfg.odometry, fusion_cfg=cfg.fusion, feat_cfg=cfg.spin_features,
         livox_cfg=cfg.livox_features, lc_cfg=cfg.loop_closure, noise=cfg.imu_noise,
         dtype=jnp.float32,
     )
+    # ingest, backend fusion, and loop closure overlap on the runner's
+    # workers (the reference's 4-process topology + 1 Hz loop thread);
+    # drop_when_full=False — offline replay must not drop scans
+    runner = PipelineRunner(sys_, overlap=not args.serial,
+                            drop_when_full=False, loop_period_s=1.0,
+                            scan_period=cfg.scan_period)
+    runner.start()
 
     n_scans = 0
     t0 = time.time()
@@ -77,13 +88,13 @@ def main():
                 # first IMU message's orientation quaternion seeds R₀
                 # (imuHandler, BackendFusion.cpp:624-665)
                 q0_seeded = sys_.set_initial_orientation(msg.orientation)
-            sys_.push_imu(np.array([msg.stamp]), acc[None], gyr[None])
+            runner.feed_imu(np.array([msg.stamp]), acc[None], gyr[None])
         elif isinstance(msg, LivoxCustomMsg) and (args.lidar is None or topic == args.lidar):
             period = 0.1
             ratio = np.clip(msg.offset_time.astype(np.float32) * 1e-9 / period, 0, 0.999)
-            sys_.process_scan_livox(msg.pts, msg.line.astype(np.int32), ratio,
-                                    msg.reflectivity.astype(np.float32),
-                                    np.isfinite(msg.pts).all(axis=1), msg.stamp)
+            runner.feed_scan_livox(msg.pts, msg.line.astype(np.int32), ratio,
+                                   msg.reflectivity.astype(np.float32),
+                                   np.isfinite(msg.pts).all(axis=1), msg.stamp)
             n_scans += 1
         elif isinstance(msg, (PointCloud2Msg, VelodyneScanMsg)) and (
                 args.lidar is None or topic == args.lidar):
@@ -113,20 +124,22 @@ def main():
             img[ring[finite], col[finite]] = pts[finite]
             valid[ring[finite], col[finite]] = True
             relimg[ring[finite], col[finite]] = rel[finite]
-            sys_.process_scan(img, valid, relimg, msg.stamp)
+            runner.feed_scan(img, valid, relimg, msg.stamp)
             n_scans += 1
-        if n_scans and n_scans % 10 == 0:
-            sys_.try_loop_closure()
-        if n_scans and n_scans % 50 == 0:
-            print(f"scan {n_scans}  kf={len(sys_.kf_stamps)}  "
+        if n_scans and n_scans % 50 == 0 and sys_.trajectory:
+            print(f"fed {n_scans} (done {runner.n_processed})  "
+                  f"kf={len(sys_.kf_stamps)}  "
+                  f"loops={runner.loop_closures}  "
                   f"t={np.asarray(sys_.trajectory[-1]).round(2)}")
         if args.max_scans and n_scans >= args.max_scans:
             break
 
+    runner.stop(drain=True)
     wall = time.time() - t0
-    print(f"\n{n_scans} scans, {len(sys_.kf_stamps)} keyframes, "
-          f"{int(sys_.graph.n_loops)} loop closures, {wall:.1f}s "
-          f"({n_scans/max(wall,1e-9):.1f} scans/s)")
+    print(f"\n{runner.n_processed} scans, {len(sys_.kf_stamps)} keyframes, "
+          f"{int(sys_.graph.n_loops)} loop factors "
+          f"({runner.loop_closures} closures, {runner.n_recoveries} recoveries), "
+          f"{wall:.1f}s ({runner.n_processed/max(wall,1e-9):.1f} scans/s)")
     print(sys_.metrics.pretty())
     if args.map:
         n = sys_.export_map(args.map)

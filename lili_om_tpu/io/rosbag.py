@@ -180,15 +180,40 @@ _PARSERS = {
 }
 
 
-def read_bag(path: str, topics: Optional[set] = None) -> Iterator[tuple[str, object]]:
-    """Yield (topic, parsed_message) in file order. Unknown message types
-    are skipped; ``topics`` filters by topic name."""
-    with open(path, "rb") as f:
-        magic = f.readline()
-        if not magic.startswith(b"#ROSBAG V2.0"):
-            raise IOError(f"not a rosbag v2.0: {path}")
-        buf = f.read()
+def _records_stream(f) -> Iterator[tuple[dict, bytes]]:
+    """Record iterator over an open file handle — O(record) memory. Index
+    data (op 0x04) and chunk-info (op 0x06) payloads are seeked past without
+    reading (they can be a large fraction of a long bag and the sequential
+    reader never needs them)."""
+    while True:
+        b = f.read(4)
+        if len(b) < 4:
+            return
+        (hlen,) = struct.unpack("<I", b)
+        header = _parse_header(f.read(hlen))
+        b = f.read(4)
+        if len(b) < 4:
+            return
+        (dlen,) = struct.unpack("<I", b)
+        op = header.get("op", b"\x00")[0]
+        if op in (0x04, 0x06):  # index data / chunk info — skip payload
+            f.seek(dlen, 1)
+            yield header, b""
+            continue
+        data = f.read(dlen)
+        if len(data) < dlen:
+            return
+        yield header, data
 
+
+def read_bag(path: str, topics: Optional[set] = None) -> Iterator[tuple[str, object]]:
+    """Yield (topic, parsed_message) in file order — STREAMING: the file is
+    parsed record-by-record from the handle, holding at most one chunk's
+    decompressed payload (~1 MB at rosbag's default chunk size) in memory at
+    a time. The reference's workflow replays multi-GB bags with ``rosbag
+    play`` (README.md:57-76); slurping them (`f.read()`) would thrash long
+    before the first scan. Unknown message types are skipped; ``topics``
+    filters by topic name."""
     connections: dict[int, tuple[str, str]] = {}
 
     def handle(records):
@@ -209,7 +234,7 @@ def read_bag(path: str, topics: Optional[set] = None) -> Iterator[tuple[str, obj
                 if parser is None:
                     continue
                 yield topic, parser(data)
-            elif op == 0x05:  # chunk
+            elif op == 0x05:  # chunk (one decompressed payload at a time)
                 compression = header.get("compression", b"none").decode()
                 payload = data
                 if compression == "bz2":
@@ -223,4 +248,8 @@ def read_bag(path: str, topics: Optional[set] = None) -> Iterator[tuple[str, obj
                         raise IOError("lz4-compressed bag; lz4 module unavailable") from e
                 yield from handle(_records(payload))
 
-    yield from handle(_records(buf))
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"#ROSBAG V2.0"):
+            raise IOError(f"not a rosbag v2.0: {path}")
+        yield from handle(_records_stream(f))

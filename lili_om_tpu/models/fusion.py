@@ -81,6 +81,14 @@ class FusionConfig(NamedTuple):
     lidar_const: float = 20.0
     cauchy_c: float = 1.0
     max_num_iter: int = 10  # GN iterations (Ceres max_num_iter=15 cap)
+    # step-norm early exit: stop the GN iterations once ‖Δ‖ drops below
+    # this (tangent units — m / rad / m/s). Ceres terminates on its own
+    # parameter/function tolerances well before max_num_iter on converged
+    # windows (defaults 1e-8/1e-6), so a fixed-iteration loop does MORE
+    # work than the reference; the traced while_loop recovers the
+    # reference's adaptive cost. 0 = fixed fori_loop (bit-exact round-2
+    # behavior).
+    gn_tol: float = 1e-4
     use_reflectivity: bool = True  # Livox variant; False → ROT plain fit
     weight_gate: float = 0.2  # surf weight keep gate (0.3 in ROT :1464-1521)
     # speed-bias prior component weights: uniform 15 Livox
@@ -586,6 +594,29 @@ def _finish(state: FusionState, mid: FusionMid, surf_batches, edge_batches,
 
     if warmup:
         ts1, qs1, vs1, bas1, bgs1 = ts, qs, vs, bas, bgs
+    elif cfg.gn_tol > 0.0:
+        # step-norm early exit (see FusionConfig.gn_tol): the 15 sequential
+        # 45-dim assemble+Cholesky rounds are pure latency depth — converged
+        # windows exit after 2-4
+        def cond(carry):
+            i, step = carry[0], carry[1]
+            return (i < cfg.max_num_iter) & (step > cfg.gn_tol)
+
+        def body(carry):
+            i = carry[0]
+            ts, qs, vs, bas, bgs = carry[2:]
+            H, g = _assemble(ts, qs, vs, bas, bgs, preints, preint_Ws,
+                             state.prior, state.sb_anchor_on, sb_anchor,
+                             surf_batches, edge_batches, noise, cfg)
+            delta = solve_normal(H, -g, cfg.damping)
+            new = _retract_window(ts, qs, vs, bas, bgs, delta)
+            return (i + 1, jnp.linalg.norm(delta)) + tuple(new)
+
+        carry = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, ts.dtype),
+             ts, qs, vs, bas, bgs))
+        ts1, qs1, vs1, bas1, bgs1 = carry[2:]
     else:
         ts1, qs1, vs1, bas1, bgs1 = jax.lax.fori_loop(
             0, cfg.max_num_iter, gn_iter, (ts, qs, vs, bas, bgs))

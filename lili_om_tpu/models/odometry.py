@@ -66,7 +66,15 @@ class OdometryConfig(NamedTuple):
     huber: float = 0.1  # robust loss (:508)
     max_rounds: int = 8  # first-2-frames schedule (:501)
     scan_match_cnt: int = 2  # steady-state rounds (config_fr_iosb.yaml)
-    gn_iters: int = 4  # inner GN iterations per round
+    # inner GN iterations per matching round — the reference's per-dataset
+    # ``lidar_odometry/max_num_iter`` Ceres budget (15 Livox
+    # config_fr_iosb.yaml:9; 12 ROT config_fr_iosb.yaml:17), wired through
+    # the presets. Ceres additionally early-exits on its own tolerances and
+    # a 0.015 s wall budget (:530-531); ``gn_tol`` recovers the adaptive
+    # cost so carrying the full reference budget stays cheap.
+    gn_iters: int = 4
+    # step-norm early exit for the inner GN loop; 0 = fixed fori_loop
+    gn_tol: float = 1e-5
     kf_dist: float = 0.2  # keyframe translation gate (:571)
     kf_angle: float = 0.1  # keyframe rotation gate (:571)
     max_step_t: float = 0.5  # GN trust region: per-iteration step clamps
@@ -160,8 +168,7 @@ def _fit_and_gn(t, q, scan_q, scan_q_mask, pw, nbrs, d2, cfg: OdometryConfig):
         scores=jnp.where(keep, weight, 0.0), mask=keep,
     )
 
-    def gn_body(_, carry):
-        t, q = carry
+    def gn_step(t, q):
         r, J = plane_residual(t, q, batch)
         w = huber_weight(r * r, cfg.huber)
         delta = gn_update(J, r, damping=1e-8, w=w)
@@ -176,9 +183,28 @@ def _fit_and_gn(t, q, scan_q, scan_q_mask, pw, nbrs, d2, cfg: OdometryConfig):
         delta = delta * scale
         t = t + delta[:3]
         q = quat_normalize(quat_mul(q, exp_so3(delta[3:6])))
-        return (t, q)
+        return t, q, jnp.linalg.norm(delta)
 
-    t, q = jax.lax.fori_loop(0, cfg.gn_iters, gn_body, (t, q))
+    if cfg.gn_tol > 0.0:
+        # step-norm early exit — carries the reference's full max_num_iter
+        # budget at the adaptive cost Ceres pays (see OdometryConfig)
+        def cond(c):
+            return (c[0] < cfg.gn_iters) & (c[1] > cfg.gn_tol)
+
+        def body(c):
+            t, q, step = gn_step(c[2], c[3])
+            return (c[0] + 1, step, t, q)
+
+        c = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, t.dtype), t, q))
+        t, q = c[2], c[3]
+    else:
+        def fori_body(_, carry):
+            t, q, _step = gn_step(*carry[:2])
+            return (t, q)
+
+        t, q = jax.lax.fori_loop(0, cfg.gn_iters, fori_body, (t, q))
     return t, q, jnp.sum(keep.astype(jnp.int32)).astype(jnp.int32)
 
 

@@ -140,6 +140,22 @@ def add_loop(g: PoseGraph, i, j, rel_t, rel_q, fitness) -> PoseGraph:
     )
 
 
+@jax.jit
+def set_loop(g: PoseGraph, slot, i, j, rel_t, rel_q, fitness) -> PoseGraph:
+    """Overwrite an existing loop factor in place (same-pair replacement —
+    a re-detected closure of an already-closed place supersedes the stale
+    measurement instead of growing the factor count; see
+    LoopClosureConfig.merge_width). Does not change ``n_loops``."""
+    w = 1.0 / jnp.maximum(fitness, 1e-3)
+    return g._replace(
+        loop_i=g.loop_i.at[slot].set(jnp.asarray(i, jnp.int32)),
+        loop_j=g.loop_j.at[slot].set(jnp.asarray(j, jnp.int32)),
+        loop_t=g.loop_t.at[slot].set(rel_t), loop_q=g.loop_q.at[slot].set(rel_q),
+        loop_valid=g.loop_valid.at[slot].set(True),
+        loop_weight=g.loop_weight.at[slot].set(w.astype(g.t.dtype)),
+    )
+
+
 def _between_block(t_i, q_i, t_j, q_j, dt, dq, w):
     """Residual + Jacobians of one between-factor via autodiff through the
     retraction. Returns (r(6,), Ji(6,6), Jj(6,6))."""

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +24,7 @@ from ..models.fusion import (FusionConfig, fusion_step, fusion_step_split,
 from ..models.odometry import (OdometryConfig, init_state as init_odo_state,
                                odometry_step, odometry_step_split)
 from ..models.pose_graph import (add_loop, add_node, ensure_capacity,
-                                 init_graph, optimize_graph_chain)
+                                 init_graph, optimize_graph_chain, set_loop)
 from ..ops.features_livox import (
     LivoxFeatureConfig,
     bin_livox_image,
@@ -54,30 +55,62 @@ def _preprocess_spin(img, valid, rel_time, dts, gyrs, imu_mask, t_scan, q_lb,
 
 @dataclasses.dataclass
 class LoopClosureConfig:
-    """Loop-closure knobs (config_fr_iosb.yaml:28-33 + hardcodes)."""
+    """Loop-closure knobs (config_fr_iosb.yaml:25-33 + hardcodes)."""
 
     enabled: bool = True
     search_radius: float = 10.0  # lc_search_radius
-    time_thres: float = 25.0  # global_lc_time_thres
+    time_thres: float = 25.0  # global_lc_time_thres (ROT: lc_time_thres)
+    # Livox two-tier fallback (BackendFusion.cpp:2449-2467): when no
+    # candidate is older than ``time_thres``, the max-|Δt| candidate with
+    # local_time_thres < Δt < time_thres is taken instead. None disables
+    # the tier (the ROT variant has only the global gate, ROT :2248-2254).
+    local_time_thres: float | None = None
     map_width: int = 20  # lc_map_width (± keyframes in the history submap)
     latest_width: int = 1  # 1 Livox (:2474); 6 ROT (:2267)
     icp_thres: float = 0.1  # fitness gate
     icp_iters: int = 20
     # fitness trim fraction: score the best 70% of NN matches (Trimmed-ICP).
-    # PCL's untrimmed getFitnessScore (trim=1.0, the reference's form) fails
-    # under view-dependent occlusion shadows — see ops/icp.py docstring
+    # PCL's untrimmed getFitnessScore (trim=1.0, the reference's form:
+    # :2567-2581, 100 iters) fails under view-dependent occlusion shadows —
+    # see ops/icp.py docstring. Dataset parity presets pin icp_iters=100,
+    # icp_trim=1.0 (utils/config.py).
     icp_trim: float = 0.7
     submap_cap: int = 16384
     submap_leaf: float = 0.4
-    debounce: float = 0.2  # ROT 0.2 s re-fire gate (:2403)
+    # ROT re-fire gate (:2259, :2403): skip when |time_last_loop −
+    # time_new_odom| < debounce, where time_last_loop is the MATURE keyframe
+    # stamp recorded at the previous closure — with the ~1 s detection
+    # cadence this gate is nearly inert in the reference too; same-pair
+    # factor growth is bounded by ``merge_width`` instead.
+    debounce: float = 0.2
+    # same-pair loop replacement: a new closure whose endpoints both lie
+    # within ``merge_width`` keyframes of an existing loop factor REPLACES
+    # it instead of appending (the reference's iSAM2 absorbs repeated
+    # between-factors incrementally at ~ms cost; the batch chain+Woodbury
+    # solver here is quadratic in the loop count, so L must stay
+    # ~O(distinct revisited places)). 0 disables merging.
+    merge_width: int = 10
     # plausibility gate on the ICP-implied correction of the latest pose
     # (beyond reference — its only protection is the fitness gate,
     # :2581): a candidate detected within ``search_radius`` of the current
     # estimate cannot need a correction much larger than that radius; a
     # bigger one is an aliased alignment (e.g. point-to-plane sliding along
     # a symmetric wall), which a fitness score cannot catch. None = auto
-    # (2·search_radius).
+    # (2·search_radius); explicit 0.0 disables the gate.
     max_correction: float | None = None
+
+
+class LivoxKeyframePayload(NamedTuple):
+    """Deferred-backend handoff for the Livox path (the spin path hands the
+    FeatureClouds itself) — everything ``_on_keyframe_clouds`` needs."""
+
+    surf: jnp.ndarray
+    surf_mask: jnp.ndarray
+    surf_refl: jnp.ndarray
+    edge: jnp.ndarray
+    edge_mask: jnp.ndarray
+    full_pts: jnp.ndarray
+    full_mask: jnp.ndarray
 
 
 class LiliOmSystem:
@@ -145,6 +178,10 @@ class LiliOmSystem:
         self.n_frames = 0
         self.trajectory: list[np.ndarray] = []  # per-frame positions (diagnostic)
         self.last_loop_stamp = -1e9
+        # host mirror of the loop-factor endpoint pairs (for same-pair
+        # merging) + rejection counters (aliased-closure diagnostics)
+        self._loop_pairs: list[tuple[int, int]] = []
+        self.lc_rejects = {"no_candidate": 0, "fitness": 0, "max_correction": 0}
         # IMU buffer (the reference's imu_buf, BackendFusion.cpp:628-631):
         # callers push samples as they arrive; undistortion slices the scan
         # period, fusion slices the inter-keyframe interval
@@ -356,9 +393,16 @@ class LiliOmSystem:
         return out
 
     def process_keyframe(self, fc, stamp: float):
-        """Backend half of a deferred keyframe (see ``defer_backend``)."""
+        """Backend half of a deferred keyframe (see ``defer_backend``) —
+        accepts the spin path's FeatureClouds or the Livox path's
+        LivoxKeyframePayload."""
         with self.metrics.stage("backend"):
-            self._on_keyframe(fc, stamp)
+            if isinstance(fc, LivoxKeyframePayload):
+                self._on_keyframe_clouds(
+                    fc.surf, fc.surf_mask, fc.surf_refl, fc.edge, fc.edge_mask,
+                    stamp, full=(fc.full_pts, fc.full_mask))
+            else:
+                self._on_keyframe(fc, stamp)
         self._maybe_publish_map(stamp)
 
     def _maybe_publish_map(self, stamp: float):
@@ -374,10 +418,16 @@ class LiliOmSystem:
             self._last_map_pub = stamp
             self.map_callback(self.build_global_map(interval=2))
 
-    def process_scan_livox(self, pts, line, ratio, refl, valid, stamp: float):
+    def process_scan_livox(self, pts, line, ratio, refl, valid, stamp: float,
+                           defer_backend: bool = False):
         """One Livox sweep as flat point arrays (N,·): xyz, line id 0..5,
         time ratio, reflectivity. Mirrors the FormatConvert → Preprocessing
-        Livox path (curvature = 0.1·reflectivity, FormatConvert.cpp:19-21)."""
+        Livox path (curvature = 0.1·reflectivity, FormatConvert.cpp:19-21).
+
+        ``defer_backend``: like :meth:`process_scan` — return
+        ``(out, LivoxKeyframePayload_or_None)`` so the pipelined runner can
+        overlap this path's backend too (the reference's process-level
+        parallelism applies to both variants, SURVEY.md §1)."""
         self.metrics.count_scan()
         pts = jnp.asarray(pts, self.dtype)
         ratio = jnp.asarray(ratio, self.dtype)
@@ -426,6 +476,15 @@ class LiliOmSystem:
         else:
             self._starved_frames = 0
 
+        if defer_backend:
+            payload = None
+            if out.is_keyframe:
+                edge, edge_mask = pad_cloud(lf.edge_pts, lf.edge_mask,
+                                            self.fusion_cfg.kf_edge_cap)
+                payload = LivoxKeyframePayload(
+                    surf, surf_mask, surf_refl[:, 0], edge, edge_mask,
+                    pts, jnp.asarray(valid))
+            return out, payload
         if out.is_keyframe:
             with self.metrics.stage("backend"):
                 edge, edge_mask = pad_cloud(lf.edge_pts, lf.edge_mask,
@@ -646,27 +705,75 @@ class LiliOmSystem:
     # loop-closure path (call at ~1 Hz, detectLoopClosure :2423-2550)
     # ------------------------------------------------------------------
 
-    def try_loop_closure(self) -> bool:
-        lc = self.lc_cfg
-        n = len(self.kf_stamps)
-        if not lc.enabled or n < 3:
-            return False
-        cur = n - 1
-        cur_stamp = self.kf_stamps[cur]
-        if cur_stamp - self.last_loop_stamp < lc.debounce:
-            return False
-        # graph poses are the authoritative (corrected) keyframe poses
-        g_t = np.asarray(self.graph.t[:n])
-        g_q = np.asarray(self.graph.q[:n])
-        d = np.linalg.norm(g_t - g_t[cur], axis=1)
-        stamps = np.asarray(self.kf_stamps)
-        cand = np.where((d < lc.search_radius) & (cur_stamp - stamps > lc.time_thres))[0]
-        if len(cand) == 0:
-            return False
-        his = int(cand[np.argmin(d[cand])])
+    def try_loop_closure(self, lock=None) -> bool:
+        """One detection + closure attempt (performLoopClosure,
+        :2552-2642). Reference-parity semantics:
 
-        src = self._submap(cur, lc.latest_width - 1, g_t, g_q)
-        tgt = self._submap(his, lc.map_width, g_t, g_q)
+        * the closure anchors at the MATURE keyframe ``n − slide_window_width``
+          — the pose that has exited the active optimization window
+          (``latest_frame_idx_loop``, :2475; the radius search centers on the
+          same published mature pose, ``select_pose`` ← ``last_pose``,
+          :1839-1841 → :2437);
+        * candidates are distance-ordered; the first with
+          |t_kf − t_newest_odom| > ``time_thres`` wins (:2440-2447), with the
+          Livox ``local_time_thres`` max-|Δt| fallback tier (:2449-2467);
+        * ICP corrects the mature pose; the loop between-factor connects
+          mature → candidate with fitness-scaled noise (:2588-2628).
+
+        ``lock``: optional mutex protecting the shared estimator state. When
+        given, it is held only for the short snapshot/update phases — the ICP
+        alignment and the O(N) graph solve (the expensive parts; the
+        reference's iSAM2 update is ms-scale *inside* its mutex, ours is not)
+        run unlocked so the backend keeps fusing keyframes. Keyframes
+        appended during the solve are re-chained by the correction delta of
+        the last solved node before ``_correct_poses``.
+        """
+        import contextlib
+
+        lc = self.lc_cfg
+        held = (lambda: lock) if lock is not None else contextlib.nullcontext
+
+        # ---- phase 1 (locked): snapshot + candidate detection + submaps ----
+        with held():
+            n = len(self.kf_stamps)
+            W = self.fusion_cfg.window
+            mature = n - W  # latest_frame_idx_loop (:2475)
+            if not lc.enabled or mature < 1:
+                return False
+            stamps = np.asarray(self.kf_stamps)
+            newest_stamp = float(stamps[-1])  # time_new_odom
+            # re-fire gate (ROT :2259): previous closure's MATURE stamp
+            if abs(self.last_loop_stamp - newest_stamp) < lc.debounce:
+                return False
+            # graph poses are the authoritative (corrected) keyframe poses
+            g_t = np.asarray(self.graph.t[:n])
+            g_q = np.asarray(self.graph.q[:n])
+            d = np.linalg.norm(g_t - g_t[mature], axis=1)
+            dt_all = np.abs(newest_stamp - stamps)
+            in_r = np.where(d < lc.search_radius)[0]
+            order = in_r[np.argsort(d[in_r])]  # radiusSearch: ascending dist
+            old_enough = order[dt_all[order] > lc.time_thres]
+            if len(old_enough):
+                his = int(old_enough[0])  # nearest sufficiently-old (:2443)
+            elif lc.local_time_thres is not None:
+                band = order[(dt_all[order] > lc.local_time_thres)
+                             & (dt_all[order] < lc.time_thres)]
+                if len(band) == 0:
+                    self.lc_rejects["no_candidate"] += 1
+                    return False
+                his = int(band[np.argmax(dt_all[band])])  # max Δt (:2457-2463)
+            else:
+                self.lc_rejects["no_candidate"] += 1
+                return False
+
+            # latest submap: [mature−latest_width+1, mature] (:2477, ROT :2266)
+            src = self._submap(mature - lc.latest_width + 1, mature, g_t, g_q)
+            # history: [his−map_width, his+map_width] capped at the mature
+            # index (:2502-2505 skips j > latest_frame_idx_loop)
+            tgt = self._submap(his - lc.map_width,
+                               min(his + lc.map_width, mature), g_t, g_q)
+
+        # ---- phase 2 (unlocked): ICP alignment on the snapshots ----
         if src[0].shape[0] == 0 or tgt[0].shape[0] == 0 \
                 or not bool(np.asarray(src[1]).any()) \
                 or not bool(np.asarray(tgt[1]).any()):
@@ -676,40 +783,112 @@ class LiliOmSystem:
             jnp.zeros(3, self.dtype), jnp.array([1.0, 0, 0, 0], self.dtype),
             n_iters=lc.icp_iters, trim=lc.icp_trim)
         if not np.isfinite(float(res.fitness)) or float(res.fitness) > lc.icp_thres:
+            self.lc_rejects["fitness"] += 1
             return False
 
-        # corrected latest pose = ΔT_icp ∘ T_latest (:2588-2599)
-        t_lat = jnp.asarray(g_t[cur], self.dtype)
-        q_lat = jnp.asarray(g_q[cur], self.dtype)
-        t_corr = quat_rotate(res.q, t_lat) + res.t
-        q_corr = quat_normalize(quat_mul(res.q, q_lat))
-        # plausibility gate (see LoopClosureConfig.max_correction)
-        max_corr = lc.max_correction or 2.0 * lc.search_radius
-        if float(np.linalg.norm(np.asarray(t_corr) - g_t[cur])) > max_corr:
+        # corrected mature pose = ΔT_icp ∘ T_mature (:2588-2599)
+        t_mat = jnp.asarray(g_t[mature], self.dtype)
+        q_mat = jnp.asarray(g_q[mature], self.dtype)
+        t_corr = quat_rotate(res.q, t_mat) + res.t
+        q_corr = quat_normalize(quat_mul(res.q, q_mat))
+        # plausibility gate (see LoopClosureConfig.max_correction);
+        # explicit 0.0 disables, None means auto
+        max_corr = (2.0 * lc.search_radius if lc.max_correction is None
+                    else lc.max_correction)
+        corr_norm = float(np.linalg.norm(np.asarray(t_corr) - g_t[mature]))
+        if max_corr > 0.0 and corr_norm > max_corr:
+            self.lc_rejects["max_correction"] += 1
+            import warnings
+
+            warnings.warn(
+                f"loop candidate {mature}->{his} rejected: ICP correction "
+                f"{corr_norm:.2f} m exceeds max_correction {max_corr:.2f} m "
+                f"(fitness {float(res.fitness):.3f} — likely aliased)")
             return False
-        # measured relative pose latest→his from the corrected latest pose
+        # measured relative pose mature→his from the corrected mature pose
         rel_t, rel_q = pose_relative(t_corr, q_corr,
                                      jnp.asarray(g_t[his], self.dtype),
                                      jnp.asarray(g_q[his], self.dtype))
-        self.graph = ensure_capacity(self.graph, n,
-                                     int(self.graph.n_loops) + 1)
-        self.graph = add_loop(self.graph, cur, his, rel_t, rel_q, res.fitness)
-        # linear-time chain+Woodbury solve — the dense (6N)² program would
-        # not survive a full-length sequence (see pose_graph.py)
+
+        # ---- phase 3 (locked): record the factor, snapshot the graph ----
+        with held():
+            n0 = len(self.kf_stamps)
+            slot = self._find_mergeable_loop(mature, his)
+            if slot is None:
+                self.graph = ensure_capacity(self.graph, n0,
+                                             int(self.graph.n_loops) + 1)
+                slot = len(self._loop_pairs)
+                self.graph = add_loop(self.graph, mature, his, rel_t, rel_q,
+                                      res.fitness)
+                self._loop_pairs.append((mature, his))
+            else:
+                self.graph = set_loop(self.graph, slot, mature, his,
+                                      rel_t, rel_q, res.fitness)
+                self._loop_pairs[slot] = (mature, his)
+            snapshot = self.graph
+
+        # ---- phase 4 (unlocked): linear-time chain+Woodbury solve — the
+        # dense (6N)² program would not survive a full-length sequence (see
+        # pose_graph.py). Pure function of the snapshot; the backend keeps
+        # appending nodes meanwhile. ----
         with self.metrics.stage("graph_solve"):
-            self.graph = optimize_graph_chain(self.graph, n_iters=10)
-            self.graph.t.block_until_ready()
-        self._correct_poses()
-        self.last_loop_stamp = cur_stamp
+            solved = optimize_graph_chain(snapshot, n_iters=10)
+            solved_t = np.asarray(solved.t[:n0])  # forces completion
+            solved_q = np.asarray(solved.q[:n0])
+
+        # ---- phase 5 (locked): apply + correct ----
+        with held():
+            self._apply_solved_graph(solved_t, solved_q, n0)
+            self._correct_poses()
+            self.last_loop_stamp = float(stamps[mature])  # ROT :2403
         return True
 
-    def _submap(self, center: int, width: int, g_t, g_q):
-        """World-frame downsampled submap of keyframes [center−width,
-        center+width]: surf + edge features, like the reference's
-        latest/history loop submaps (build…KeyFrames, :2474-2548 adds both
-        edge_frames and surf_frames)."""
-        lo = max(0, center - width)
-        hi = min(len(self.kf_clouds), center + width + 1)
+    def _find_mergeable_loop(self, i: int, j: int):
+        """Slot of an existing loop factor whose endpoints both lie within
+        ``merge_width`` keyframes of (i, j), else None (see
+        LoopClosureConfig.merge_width)."""
+        w = self.lc_cfg.merge_width
+        if w <= 0:
+            return None
+        for slot, (pi, pj) in enumerate(self._loop_pairs):
+            if abs(pi - i) <= w and abs(pj - j) <= w:
+                return slot
+        return None
+
+    def _apply_solved_graph(self, solved_t, solved_q, n0: int):
+        """Write the solved poses for nodes [0, n0) back into the live graph;
+        nodes appended while the solve ran (the unlocked phase 4) are
+        re-chained by the left correction delta of the last solved node —
+        they were added relative to its pre-solve pose (correctPoses applies
+        the same relative re-chaining to the active window, :2211-2307)."""
+        from ..utils.math import (quat_conj_np, quat_mul_np,
+                                  quat_normalize_np, quat_rotate_np)
+
+        g = self.graph
+        n = len(self.kf_stamps)
+        new_t = np.array(g.t)
+        new_q = np.array(g.q)
+        if n > n0:
+            t_old = np.asarray(new_t[n0 - 1])
+            q_old = np.asarray(new_q[n0 - 1])
+            dq = quat_normalize_np(quat_mul_np(
+                solved_q[n0 - 1][None], quat_conj_np(q_old[None])))
+            dt = solved_t[n0 - 1] - quat_rotate_np(dq, t_old[None])[0]
+            tail_q = np.broadcast_to(dq, (n - n0, 4))
+            new_t[n0:n] = quat_rotate_np(tail_q, new_t[n0:n]) + dt
+            new_q[n0:n] = quat_normalize_np(quat_mul_np(tail_q, new_q[n0:n]))
+        new_t[:n0] = solved_t
+        new_q[:n0] = solved_q
+        self.graph = g._replace(t=jnp.asarray(new_t, self.dtype),
+                                q=jnp.asarray(new_q, self.dtype))
+
+    def _submap(self, lo: int, hi: int, g_t, g_q):
+        """World-frame downsampled submap of keyframes [lo, hi] (inclusive):
+        surf + edge features, like the reference's latest/history loop
+        submaps (build…KeyFrames, :2474-2548 adds both edge_frames and
+        surf_frames)."""
+        lo = max(0, lo)
+        hi = min(len(self.kf_clouds), hi + 1)
         pts = []
         for i in range(lo, hi):
             for archive in (self.kf_clouds, self.kf_edge_clouds):

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.math import quat_conj, quat_mul, quat_normalize, quat_rotate, quat_slerp, exp_so3
-from .voxel import voxel_downsample
+from .voxel import voxel_downsample, voxel_downsample_ordered
 
 
 class SpinFeatureConfig(NamedTuple):
@@ -48,6 +48,11 @@ class SpinFeatureConfig(NamedTuple):
     # across rings); False = one global downsample over all rings (round-1
     # approximation, slightly sparser)
     per_ring_ds: bool = True
+    # True = the two-stage run-compressed downsample (exact — the image is
+    # scan-ordered, so consecutive columns pre-merge without a sort and only
+    # the ~6×-smaller run table sorts; see ops/voxel.py
+    # voxel_downsample_ordered). False = the single-sort point-level kernel.
+    ordered_ds: bool = True
 
 
 class FeatureClouds(NamedTuple):
@@ -263,19 +268,23 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
         jnp.arange(R)[:, None, None], jnp.arange(S)[None, :, None], top_i
     ].max(pick_ok)
     less_flat_mask = ok & ~edge_label.reshape(R, C)
+    ds = voxel_downsample_ordered if cfg.ordered_ds else voxel_downsample
     if cfg.per_ring_ds:
         # per-ring filtering (:494-508): each ring downsamples on its own
         # grid — voxels never merge across rings (preserves the vertical
         # structure the reference's downstream fits rely on). Implemented as
         # ONE group-keyed downsample (a single ring-mixed hash sort), not a
         # vmapped program per ring — vmapped sorts inflated TPU compile time.
+        # The flattened image is ring-major scan order, so the ordered
+        # (run-compressed) kernel applies (ring boundaries break runs via
+        # the group id).
         ring_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
                                     (R, C)).reshape(-1)
-        surf_pts, surf_mask = voxel_downsample(
+        surf_pts, surf_mask = ds(
             img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf,
             cfg.surf_cap, groups=ring_ids)
     else:
-        surf_pts, surf_mask = voxel_downsample(
+        surf_pts, surf_mask = ds(
             img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf,
             cfg.surf_cap)
 

@@ -147,6 +147,173 @@ def voxel_downsample(
     return out, out_mask
 
 
+@partial(jax.jit, static_argnames=("max_out", "runs_cap"))
+def voxel_downsample_ordered(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    leaf: float,
+    max_out: int,
+    feats: Optional[jnp.ndarray] = None,
+    groups: Optional[jnp.ndarray] = None,
+    runs_cap: Optional[int] = None,
+):
+    """Exact voxel downsample for SCAN-ORDERED clouds, same contract and
+    results as :func:`voxel_downsample` (up to fp summation order) at a
+    fraction of the cost. Two stages:
+
+    1. **run compression** (sort-free): consecutive points with the same
+       (voxel key, group) merge by ONE scan-order segment-sum. An organized
+       sweep crosses each voxel in a contiguous run of columns (run length ≈
+       leaf / (range · Δazimuth) — 5-10 points at typical ranges), so the
+       point count drops ~6× before anything is sorted. This is a *partial
+       aggregation*: it never changes which points share a voxel, only
+       pre-sums them.
+    2. the compressed run table runs the standard bijective-hash sort +
+       segment-sum over (key, group) — non-adjacent runs of the same voxel
+       (range discontinuities, ring revisits) merge here, and capacity
+       overflow drops voxels in the same hash order as the exact kernel.
+
+    ``runs_cap`` (static): run-table capacity; default
+    ``min(N, max(4·max_out, N/3))`` — the run count is a property of the
+    SCAN (≈ N / mean run length, typically N/5..N/8 for organized sweeps),
+    not of the output cap. Overflowing it drops the TAIL of the scan
+    (scan-order truncation) — size it generously; the sort cost it controls
+    is the point of the two-stage split.
+    """
+    N = pts.shape[0]
+    if runs_cap is None:
+        runs_cap = min(N, max(4 * max_out, N // 3))
+    key = voxel_keys(pts, leaf, mask)
+    key = jnp.where(mask, key, jnp.int32(jnp.iinfo(jnp.int32).max))
+    if groups is None:
+        grp = jnp.zeros((N,), jnp.int32)
+    else:
+        grp = jnp.where(mask, groups.astype(jnp.int32), -1)
+    starts = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (key[1:] != key[:-1]) | (grp[1:] != grp[:-1])])
+    run_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    in_cap = run_id < runs_cap
+    run_id_c = jnp.where(in_cap, run_id, runs_cap)
+
+    ones = (mask & in_cap).astype(pts.dtype)
+    payload = [pts]
+    if feats is not None:
+        payload.append(feats)
+    payload.append(ones[:, None])
+    stacked = jnp.concatenate(payload, axis=1) * ones[:, None]
+    run_sums = jax.ops.segment_sum(stacked, run_id_c,
+                                   num_segments=runs_cap + 1)[:runs_cap]
+    # every point of a run shares (key, group): min-reduce recovers them
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    run_key = jax.ops.segment_min(jnp.where(in_cap, key, big), run_id_c,
+                                  num_segments=runs_cap + 1)[:runs_cap]
+    run_grp = jax.ops.segment_max(jnp.where(in_cap, grp, jnp.int32(-(2**31))),
+                                  run_id_c, num_segments=runs_cap + 1)[:runs_cap]
+    run_valid = run_sums[:, -1] > 0
+
+    # ---- stage 2: the standard hash-ordered merge, over runs ----
+    run_key = jnp.where(run_valid, run_key, big)
+    if groups is None:
+        scram = _scramble(run_key)
+    else:
+        scram = _scramble(_scramble(run_key)
+                          ^ (run_grp * jnp.int32(-1640531527)))
+    scram = jnp.where(run_valid, scram, big)
+    order = jnp.argsort(scram, stable=True)
+    key_s = run_key[order]
+    sums_s = run_sums[order]
+    valid_s = run_valid[order]
+    if groups is None:
+        starts2 = jnp.concatenate([jnp.ones((1,), bool),
+                                   key_s[1:] != key_s[:-1]])
+    else:
+        grp_s = jnp.where(valid_s, run_grp[order], -1)
+        starts2 = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (key_s[1:] != key_s[:-1]) | (grp_s[1:] != grp_s[:-1])])
+    seg_id = jnp.cumsum(starts2.astype(jnp.int32)) - 1
+    in_cap2 = (seg_id < max_out) & valid_s
+    seg_id_c = jnp.where(in_cap2, seg_id, max_out)
+    sums = jax.ops.segment_sum(sums_s * in_cap2[:, None].astype(sums_s.dtype),
+                               seg_id_c, num_segments=max_out + 1)[:max_out]
+    cnt = sums[:, -1]
+    out_mask = cnt > 0
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    out = jnp.where(out_mask[:, None], sums[:, 0:3] / denom, 0.0)
+    if feats is not None:
+        fout = jnp.where(out_mask[:, None], sums[:, 3:-1] / denom, 0.0)
+        return out, fout, out_mask
+    return out, out_mask
+
+
+@partial(jax.jit, static_argnames=("num_out",))
+def merge_voxel_entries(cells, sums, cnt, valid, num_out: int,
+                        second_sel=None):
+    """Merge weighted voxel entries by ABSOLUTE cell coordinates — the
+    primitive behind the incremental (persistent-table) local maps.
+
+    An *entry* is a partial aggregate of one voxel: integer cell coords
+    (N,3), channel sums (N,C), a (possibly NEGATIVE — that is how a frame's
+    contribution is subtracted when it leaves the sliding map) count (N,),
+    and a validity flag. Entries with equal cells merge by one
+    scrambled-key sort + segment-sum; output segments are compacted in hash
+    order (the same spatially-uniform capacity-overflow drop order as
+    :func:`voxel_downsample`) and entries whose merged count cancels to ~0
+    come out invalid.
+
+    ``second_sel``: optional (N,) bool — also return the segment sums
+    restricted to the selected entries AT THE SAME segment positions (the
+    fusion backend uses this to update its mature-keyframe table and build
+    the full match map from ONE sort).
+
+    Returns (cells (num_out,3), sums (num_out,C), cnt (num_out,), valid)
+    [+ the same 4-tuple for ``second_sel`` entries].
+
+    Keys pack cells relative to the batch min cell (3×10 bit, as
+    :func:`voxel_keys`): clouds wider than 1024 cells per axis clamp into
+    border voxels. Note the hash order depends on that min corner — the
+    overflow drop SET can differ from a from-scratch batch downsample whose
+    min corner differs (both are uniform decimations; only which voxels are
+    dropped past capacity varies).
+    """
+    N = cells.shape[0]
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    bigc = jnp.int32(2**30)
+    cmin = jnp.min(jnp.where(valid[:, None], cells, bigc), axis=0)
+    rel = jnp.clip(cells - cmin, 0, (1 << _BITS) - 1)
+    key = (rel[..., 0] << (2 * _BITS)) | (rel[..., 1] << _BITS) | rel[..., 2]
+    key = jnp.where(valid, key, big)
+    scram = jnp.where(valid, _scramble(key), big)
+    order = jnp.argsort(scram, stable=True)
+    key_s = key[order]
+    starts = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    in_cap = (seg_id < num_out) & valid[order]
+    seg_id_c = jnp.where(in_cap, seg_id, num_out)
+
+    w = in_cap.astype(sums.dtype)
+    payload = jnp.concatenate([sums[order], cnt[order][:, None]], axis=1)
+    cells_s = jnp.where(in_cap[:, None], cells[order], bigc)
+
+    def reduce(sel_w):
+        s = jax.ops.segment_sum(payload * sel_w[:, None], seg_id_c,
+                                num_segments=num_out + 1)[:num_out]
+        c = s[:, -1]
+        v = c > 0.5  # integer counts in f32; fp residue of add/sub ≈ 1e-5
+        return s[:, :-1], c, v
+
+    out_sums, out_cnt, out_valid = reduce(w)
+    out_cells = jax.ops.segment_min(cells_s, seg_id_c,
+                                    num_segments=num_out + 1)[:num_out]
+    out_cells = jnp.where(out_valid[:, None], out_cells, 0)
+    if second_sel is None:
+        return out_cells, out_sums, out_cnt, out_valid
+    s2, c2, v2 = reduce(w * second_sel[order].astype(sums.dtype))
+    cells2 = jnp.where(v2[:, None], out_cells, 0)
+    return (out_cells, out_sums, out_cnt, out_valid), (cells2, s2, c2, v2)
+
+
 def voxel_downsample_np(pts, leaf: float):
     """Host-side exact voxel-centroid downsample (numpy, unbounded extent).
 

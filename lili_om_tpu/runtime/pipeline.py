@@ -92,8 +92,14 @@ class PipelineRunner:
     """
 
     def __init__(self, system, queue_size: int = 100, loop_period_s: float = 1.0,
-                 scan_period: float = 0.1, overlap: bool = True):
+                 scan_period: float = 0.1, overlap: bool = True,
+                 drop_when_full: bool = True):
+        """``drop_when_full``: True = real-time semantics (oldest scans drop
+        under backpressure, the reference's bounded topic queues); False =
+        lossless offline replay — ``feed_scan*`` blocks the producer instead
+        (bag processing must not drop scans)."""
         self.system = system
+        self.drop_when_full = drop_when_full
         self._scan_store: dict[int, tuple] = {}
         self._scan_seq = 0
         self._store_lock = threading.Lock()
@@ -114,6 +120,7 @@ class PipelineRunner:
         self.n_keyframes = 0
         self.n_dropped = 0
         self.loop_closures = 0
+        self.n_recoveries = 0  # elastic recoveries (health_check_and_recover)
         # backend mutex: keyframe fusion + loop closure + pose correction
         self._sys_lock = threading.Lock()
 
@@ -149,17 +156,29 @@ class PipelineRunner:
             self._drain_sequencer()
 
     def feed_scan(self, img, valid, rel_time, stamp: float):
+        """Organized spinning-LiDAR sweep (R,C)."""
+        self._feed(("spin", (np.asarray(img), np.asarray(valid),
+                             np.asarray(rel_time)), float(stamp)))
+
+    def feed_scan_livox(self, pts, line, ratio, refl, valid, stamp: float):
+        """Flat Livox point stream (N,·) — routed to
+        ``process_scan_livox`` on the frontend worker."""
+        self._feed(("livox", (np.asarray(pts), np.asarray(line),
+                              np.asarray(ratio), np.asarray(refl),
+                              np.asarray(valid)), float(stamp)))
+
+    def _feed(self, item):
         with self._store_lock:
             h = self._scan_seq
             self._scan_seq += 1
-            self._scan_store[h] = (np.asarray(img), np.asarray(valid),
-                                   np.asarray(rel_time), float(stamp))
+            self._scan_store[h] = item
         with self._seq_lock:
-            self._seq.push(SCAN_STREAM, float(stamp), h)
+            self._seq.push(SCAN_STREAM, item[2], h)
             self._drain_sequencer()
 
     def _drain_sequencer(self):
-        """Move every aligned bundle into the frontend queue (bounded drop)."""
+        """Move every aligned bundle into the frontend queue (bounded drop —
+        or producer backpressure when ``drop_when_full`` is off)."""
         while True:
             out = self._seq.try_pop()
             if out is None:
@@ -168,6 +187,14 @@ class PipelineRunner:
             with self._store_lock:
                 item = self._scan_store.pop(h, None)
             if item is None:
+                continue
+            if not self.drop_when_full:
+                while not self._stop.is_set():
+                    try:
+                        self._ready.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
                 continue
             try:
                 self._ready.put_nowait(item)
@@ -223,13 +250,14 @@ class PipelineRunner:
     def _front_work(self):
         while not self._stop.is_set():
             try:
-                img, valid, rel, stamp = self._ready.get(timeout=0.05)
+                kind, payload, stamp = self._ready.get(timeout=0.05)
             except queue.Empty:
                 continue
             self._drain_imu()
+            step = (self.system.process_scan if kind == "spin"
+                    else self.system.process_scan_livox)
             if self.overlap:
-                out, fc = self.system.process_scan(img, valid, rel, stamp,
-                                                   defer_backend=True)
+                out, fc = step(*payload, stamp, defer_backend=True)
                 if fc is not None:
                     # bounded handoff; block briefly — keyframes must not
                     # drop (they carry the map), so backpressure stalls the
@@ -242,7 +270,9 @@ class PipelineRunner:
                             continue
             else:
                 with self._sys_lock:
-                    self.system.process_scan(img, valid, rel, stamp)
+                    step(*payload, stamp)
+                    if self.system.health_check_and_recover():
+                        self.n_recoveries += 1
             self.n_processed += 1
 
     def _back_work(self):
@@ -253,16 +283,28 @@ class PipelineRunner:
                 continue
             with self._sys_lock:
                 self.system.process_keyframe(fc, stamp)
+                # elastic recovery (absent in the reference, SURVEY.md §5):
+                # a NaN'd fusion state — IMU glitch, degenerate solve — is
+                # detected and re-seeded from the last finite keyframe right
+                # here on the backend worker, so a mid-run fault degrades to
+                # a re-anchored window instead of poisoning every subsequent
+                # keyframe
+                if self.system.health_check_and_recover():
+                    self.n_recoveries += 1
             self.n_keyframes += 1
 
     def _loop_closure_loop(self):
         while not self._stop.is_set():
             time.sleep(self._loop_period)
-            # same mutex discipline as the reference's mutual_exclusion
-            # (BackendFusion.cpp:131, 2430, 2620)
-            with self._sys_lock:
-                try:
-                    if self.system.try_loop_closure():
-                        self.loop_closures += 1
-                except Exception:
-                    pass
+            # the mutex discipline mirrors the reference's mutual_exclusion
+            # (BackendFusion.cpp:131, 2430, 2620) but the lock is passed IN:
+            # try_loop_closure holds it only for the snapshot/update phases —
+            # the ICP and the O(N) graph solve (its expensive parts; the
+            # reference's iSAM2 update is ms-scale inside the lock, a batch
+            # re-solve is not) run unlocked, so keyframe fusion never stalls
+            # behind a closure and the scan queue cannot back up into drops.
+            try:
+                if self.system.try_loop_closure(lock=self._sys_lock):
+                    self.loop_closures += 1
+            except Exception:
+                pass

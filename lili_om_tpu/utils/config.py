@@ -66,17 +66,21 @@ def config_fr_iosb() -> SystemConfig:
     """Livox FR_IOSB (LiLi-OM/config/config_fr_iosb.yaml)."""
     return SystemConfig(
         variant="livox",
-        odometry=OdometryConfig(scan_match_cnt=1),  # yaml:10
+        # scan_match_cnt yaml:10; gn_iters = lidar_odometry/max_num_iter
+        # (config_fr_iosb.yaml:9, Ceres budget per matching round)
+        odometry=OdometryConfig(scan_match_cnt=1, gn_iters=15),
         fusion=FusionConfig(
             window=3, local_map_width=40, lidar_const=20.0, reflect_thres=15.0,
+            max_num_iter=15,  # backend_fusion/max_num_iter yaml:15
             surf_dist_thres=0.12, kd_max_radius=1.0, surf_leaf=0.4, edge_leaf=0.2,
             use_reflectivity=True, weight_gate=0.2,
             q_lb=(0.0, 0.0, 0.0, 1.0), t_lb=(-0.0265, 0.0202, 0.05309),  # yaml:34-41
         ),
         livox_features=LivoxFeatureConfig(surf_thres=0.28, edge_thres=4.0),  # yaml:5-6
         loop_closure=LoopClosureConfig(
-            enabled=True, time_thres=25.0, search_radius=10.0,
-            map_width=20, latest_width=1, icp_thres=0.1),  # yaml:28-33
+            enabled=True, time_thres=25.0, local_time_thres=25.0,  # yaml:25-26
+            search_radius=10.0, map_width=20, latest_width=1, icp_thres=0.1,
+            icp_iters=100, icp_trim=1.0),  # reference ICP (:2567-2581)
         imu_noise=ImuNoise(),  # hardcoded Livox densities (Preintegration.h:40-46)
     )
 
@@ -85,9 +89,11 @@ def config_fr_iosb_rot() -> SystemConfig:
     """Spinning 64-line FR_IOSB (LiLi-OM-ROT/config/config_fr_iosb.yaml)."""
     return SystemConfig(
         variant="rot",
-        odometry=OdometryConfig(scan_match_cnt=1),
+        # gn_iters = ROT lidar_odometry/max_num_iter (config_fr_iosb.yaml:17)
+        odometry=OdometryConfig(scan_match_cnt=1, gn_iters=12),
         fusion=FusionConfig(
             window=3, local_map_width=50, lidar_const=7.5,
+            max_num_iter=15,  # ROT backend_fusion/max_num_iter yaml:22
             surf_dist_thres=0.12, kd_max_radius=1.0,
             surf_leaf=0.4, edge_leaf=0.2,  # ROT hardcodes (:491-496)
             use_reflectivity=False, weight_gate=0.3,
@@ -97,8 +103,9 @@ def config_fr_iosb_rot() -> SystemConfig:
         ),
         spin_features=SpinFeatureConfig(ds_rate=4),  # yaml:13
         loop_closure=LoopClosureConfig(
-            enabled=True, time_thres=60.0, search_radius=15.0,
-            map_width=25, latest_width=6, icp_thres=0.2, debounce=0.2),
+            enabled=True, time_thres=60.0, search_radius=15.0,  # yaml:32
+            map_width=25, latest_width=6, icp_thres=0.2, debounce=0.2,
+            icp_iters=100, icp_trim=1.0),  # ROT: single time gate (:2248-2254)
         imu_noise=ImuNoise(acc_n=2000.0, gyr_n=0.0173, acc_w=2.0,
                            gyr_w=0.00025, init_cov=1e-3),  # yaml:5-9
     )
@@ -136,23 +143,28 @@ def config_fr_iosb_internal_imu() -> SystemConfig:
 def config_fr_iosb_tree() -> SystemConfig:
     c = _livox_variant(config_fr_iosb(), local_map_width=30, lidar_const=15.0)
     c.loop_closure.time_thres = 40.0
+    c.loop_closure.local_time_thres = 40.0  # config_fr_iosb_tree.yaml:26
     c.loop_closure.icp_thres = 0.15
     return c
 
 
 def config_ka_urban_campus() -> SystemConfig:
     c = _livox_variant(config_fr_iosb(), lidar_const=15.0, surf_dist_thres=0.08,
+                       max_num_iter=20,  # yaml:15
                        q_lb=(0.0, 0.0, 1.0, 0.0), t_lb=(-0.05, -0.0202, -0.13))
     c.livox_features = c.livox_features._replace(surf_thres=0.17)
     c.odometry = c.odometry._replace(scan_match_cnt=2)
     c.loop_closure.time_thres = 60.0
+    c.loop_closure.local_time_thres = 60.0  # config_ka_urban_campus.yaml:29
     return c
 
 
 def config_ka_urban_east() -> SystemConfig:
-    c = _livox_variant(config_fr_iosb(), lidar_const=15.0, surf_dist_thres=0.08)
+    c = _livox_variant(config_fr_iosb(), lidar_const=15.0, surf_dist_thres=0.08,
+                       max_num_iter=20)  # yaml:15
     c.livox_features = c.livox_features._replace(surf_thres=0.16)
     c.loop_closure.time_thres = 60.0
+    c.loop_closure.local_time_thres = 60.0  # config_ka_urban_east.yaml:29
     c.loop_closure.search_radius = 20.0
     c.loop_closure.icp_thres = 0.15
     return c
@@ -164,6 +176,7 @@ def config_ka_urban_schloss_1() -> SystemConfig:
     c.livox_features = c.livox_features._replace(surf_thres=0.15)
     c.odometry = c.odometry._replace(scan_match_cnt=2)
     c.loop_closure.time_thres = 60.0
+    c.loop_closure.local_time_thres = 60.0  # config_ka_urban_schloss_1.yaml:29
     c.loop_closure.search_radius = 7.0
     c.loop_closure.icp_thres = 0.15
     return c
@@ -173,6 +186,7 @@ def config_ka_urban_schloss_2() -> SystemConfig:
     c = _livox_variant(config_fr_iosb(), lidar_const=25.0, surf_dist_thres=0.08)
     c.livox_features = c.livox_features._replace(surf_thres=0.25, edge_thres=3.0)
     c.loop_closure.time_thres = 60.0
+    c.loop_closure.local_time_thres = 60.0  # config_ka_urban_schloss_2.yaml:29
     c.loop_closure.search_radius = 7.0
     c.loop_closure.icp_thres = 0.15
     return c

@@ -191,6 +191,58 @@ def test_voxel_downsample_grouped_invalid_points_ignored():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def _scan_ordered_cloud(n=6000, rings=8, seed=11):
+    """Synthetic organized sweep: per-ring azimuth-ordered points on a wavy
+    wall (consecutive columns land in contiguous voxel runs, with range
+    discontinuities that split runs and revisit voxels non-contiguously)."""
+    rng = np.random.default_rng(seed)
+    per = n // rings
+    az = np.linspace(-1.2, 1.2, per)
+    pts, ring_ids = [], []
+    for r in range(rings):
+        rad = 8.0 + 2.0 * np.sin(3 * az + r) + np.where(az > 0.7, 5.0, 0.0)
+        z = 0.3 * r + 0.05 * np.sin(9 * az)
+        pts.append(np.stack([rad * np.cos(az), rad * np.sin(az),
+                             z + rng.normal(0, 0.01, per)], 1))
+        ring_ids.append(np.full(per, r, np.int32))
+    return (np.concatenate(pts), np.concatenate(ring_ids),
+            rng.random(n) > 0.1)
+
+
+def _centroid_set(out, mask):
+    o = np.asarray(out)[np.asarray(mask)]
+    return o[np.lexsort(o.T)]
+
+
+def test_voxel_downsample_ordered_matches_exact():
+    """The two-stage run-compressed kernel is EXACT: same centroids, same
+    hash drop order as voxel_downsample (fp summation order aside)."""
+    pts, rings, mask = _scan_ordered_cloud()
+    p, m = jnp.asarray(pts), jnp.asarray(mask)
+    for groups in (None, jnp.asarray(rings)):
+        for max_out in (4096, 200):  # under and over capacity
+            a = voxel.voxel_downsample(p, m, 0.6, max_out, groups=groups)
+            b = voxel.voxel_downsample_ordered(p, m, 0.6, max_out,
+                                               groups=groups)
+            assert int(a[1].sum()) == int(b[1].sum())
+            # same voxel set, same ORDER (identical hash drop ordering)
+            np.testing.assert_allclose(np.asarray(a[0])[np.asarray(a[1])],
+                                       np.asarray(b[0])[np.asarray(b[1])],
+                                       atol=1e-5)
+
+
+def test_voxel_downsample_ordered_feats_match():
+    pts, rings, mask = _scan_ordered_cloud(3000, 4, seed=5)
+    feats = np.linalg.norm(pts, axis=1, keepdims=True)
+    a = voxel.voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.5, 2048,
+                               feats=jnp.asarray(feats))
+    b = voxel.voxel_downsample_ordered(jnp.asarray(pts), jnp.asarray(mask),
+                                       0.5, 2048, feats=jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
 def test_remove_close_points():
     pts = jnp.array([[0.05, 0, 0], [5.0, 0, 0], [jnp.nan, 0, 0]])
     m = voxel.remove_close_points(pts, jnp.ones(3, bool), 0.1)

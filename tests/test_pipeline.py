@@ -115,3 +115,78 @@ class TestPipelineRunner:
         np.testing.assert_array_equal(results[0][0], results[1][0])
         np.testing.assert_array_equal(results[0][1], results[1][1])
         assert results[0][2] == results[1][2]
+
+    def test_livox_overlap_matches_serial(self):
+        """The Livox path pipelines like the spin path (defer_backend +
+        feed_scan_livox): overlapped == serial results."""
+        from lili_om_tpu.sim.lidar import livox_pattern
+
+        world = make_room_world()
+        traj = circle_trajectory(radius=8.0, period=40.0)
+        pattern = livox_pattern(pts_per_line=400)
+        imu = simulate_imu(traj, 0.0, 9 * PERIOD, rate=200.0)
+        scans = [simulate_scan(world, traj, k * PERIOD, pattern, period=PERIOD)
+                 for k in range(7)]
+
+        results = []
+        for overlap in (False, True):
+            sys_ = tiny_system()
+            sys_.lc_cfg.enabled = False
+            runner = PipelineRunner(sys_, queue_size=16, overlap=overlap,
+                                    loop_period_s=10.0)
+            runner.feed_imu(np.asarray(imu.stamps), np.asarray(imu.accs),
+                            np.asarray(imu.gyrs))
+            runner.start()
+            for k, scan in enumerate(scans):
+                ratio = np.clip(np.asarray(scan.rel_time), 0, 0.999)
+                runner.feed_scan_livox(np.asarray(scan.pts),
+                                       np.asarray(scan.line, np.int32),
+                                       ratio,
+                                       np.asarray(scan.reflectivity),
+                                       np.asarray(scan.valid), k * PERIOD)
+            runner.stop(drain=True)
+            assert runner.n_processed == 7
+            results.append((np.asarray(sys_.fusion_state.t),
+                            np.asarray(sys_.fusion_state.q),
+                            len(sys_.kf_stamps)))
+        np.testing.assert_array_equal(results[0][0], results[1][0])
+        np.testing.assert_array_equal(results[0][1], results[1][1])
+        assert results[0][2] == results[1][2]
+
+    def test_fault_injection_recovery(self):
+        """A NaN'd fusion state mid-run is detected and re-seeded by the
+        backend worker (health_check_and_recover wired into the runner) —
+        processing continues with finite estimates."""
+        import jax.numpy as jnp
+
+        world = make_room_world()
+        traj = circle_trajectory(radius=8.0, period=40.0)
+        pattern = spinning_pattern(n_rings=R, n_cols=C)
+        sys_ = tiny_system()
+        sys_.lc_cfg.enabled = False
+        runner = PipelineRunner(sys_, queue_size=16, loop_period_s=10.0)
+        imu = simulate_imu(traj, 0.0, 12 * PERIOD, rate=200.0)
+        runner.feed_imu(np.asarray(imu.stamps), np.asarray(imu.accs),
+                        np.asarray(imu.gyrs))
+        runner.start()
+        for k in range(4):
+            scan = simulate_scan(world, traj, k * PERIOD, pattern, period=PERIOD)
+            runner.feed_scan(np.asarray(scan.pts).reshape(R, C, 3),
+                             np.asarray(scan.valid).reshape(R, C),
+                             np.asarray(scan.rel_time).reshape(R, C), k * PERIOD)
+        # wait for the first batch to clear, then poison the estimator
+        t0 = time.time()
+        while runner.n_processed < 4 and time.time() - t0 < 60:
+            time.sleep(0.01)
+        with runner._sys_lock:
+            fs = sys_.fusion_state
+            sys_.fusion_state = fs._replace(t=fs.t * jnp.nan)
+        for k in range(4, 8):
+            scan = simulate_scan(world, traj, k * PERIOD, pattern, period=PERIOD)
+            runner.feed_scan(np.asarray(scan.pts).reshape(R, C, 3),
+                             np.asarray(scan.valid).reshape(R, C),
+                             np.asarray(scan.rel_time).reshape(R, C), k * PERIOD)
+        runner.stop(drain=True)
+        assert runner.n_recoveries >= 1
+        assert np.all(np.isfinite(np.asarray(sys_.fusion_state.t)))
+        assert np.all(np.isfinite(np.asarray(sys_.fusion_state.q)))

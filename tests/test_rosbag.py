@@ -90,6 +90,118 @@ def _write_bag(path, messages, compression="none"):
                          "size": struct.pack("<I", len(chunk))}, payload))
 
 
+def _write_bag_chunked(path, chunks, compression="none", index_pad=0):
+    """Many-chunk writer (rosbag's real layout: one chunk per ~768 KB, with
+    index-data records interleaved after each chunk)."""
+    conns_written = set()
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n")
+        f.write(_record({"op": b"\x03", "index_pos": struct.pack("<Q", 0),
+                         "conn_count": struct.pack("<I", 1),
+                         "chunk_count": struct.pack("<I", len(chunks))},
+                        b"\x20" * 4096))
+        for messages in chunks:
+            chunk = b""
+            for conn, topic, mtype, payload in messages:
+                if conn not in conns_written:
+                    conns_written.add(conn)
+                    conn_hdr = _header({"topic": topic.encode(),
+                                        "type": mtype.encode(),
+                                        "md5sum": b"0" * 32,
+                                        "message_definition": b""})
+                    chunk += _record({"op": b"\x07",
+                                      "conn": struct.pack("<I", conn),
+                                      "topic": topic.encode()}, conn_hdr)
+                chunk += _record({"op": b"\x02", "conn": struct.pack("<I", conn),
+                                  "time": struct.pack("<II", 0, 0)}, payload)
+            payload = bz2.compress(chunk) if compression == "bz2" else chunk
+            f.write(_record({"op": b"\x05", "compression": compression.encode(),
+                             "size": struct.pack("<I", len(chunk))}, payload))
+            # index-data record after each chunk (op 0x04) — the streaming
+            # reader must seek past these without loading them
+            f.write(_record({"op": b"\x04", "ver": struct.pack("<I", 1),
+                             "conn": struct.pack("<I", 0),
+                             "count": struct.pack("<I", len(messages))},
+                            b"\x00" * max(index_pad, 12 * len(messages))))
+
+
+class _ReadTracker:
+    """open() wrapper recording the largest single read — a proxy for the
+    reader's peak buffer (a slurping reader's first read is the whole file)."""
+
+    def __init__(self, f):
+        self._f = f
+        self.max_read = 0
+
+    def read(self, n=-1):
+        out = self._f.read(n)
+        self.max_read = max(self.max_read, len(out))
+        return out
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self._f.close()
+        return False
+
+    def __getattr__(self, k):
+        return getattr(self._f, k)
+
+
+class TestStreamingReader:
+    def test_many_chunks_constant_memory(self, tmp_path, monkeypatch):
+        """A multi-chunk bag parses correctly while the reader never issues
+        a read larger than one chunk (streaming, not slurping — the real
+        FR_IOSB/UTBM bags are multi-GB, VERDICT round 2 item 3)."""
+        rng = np.random.default_rng(3)
+        n_chunks, per_chunk = 40, 5
+        chunks = []
+        for c in range(n_chunks):
+            msgs = []
+            for m in range(per_chunk):
+                stamp = c * per_chunk + m
+                pts = rng.normal(size=(400, 3)).astype(np.float32)
+                inten = rng.uniform(0, 100, 400).astype(np.float32)
+                msgs.append((0, "/pts", "sensor_msgs/PointCloud2",
+                             _pc2_msg(stamp, pts, inten)))
+            chunks.append(msgs)
+        p = str(tmp_path / "many.bag")
+        _write_bag_chunked(p, chunks, index_pad=4096)
+        chunk_bytes = 5 * (400 * 16 + 200)  # payloads + headers, generous
+
+        import builtins
+        trackers = []
+        real_open = builtins.open
+
+        def tracking_open(path_, *a, **kw):
+            f = real_open(path_, *a, **kw)
+            if str(path_) == p:
+                tr = _ReadTracker(f)
+                trackers.append(tr)
+                return tr
+            return f
+
+        import lili_om_tpu.io.rosbag as rb
+        monkeypatch.setattr("builtins.open", tracking_open)
+        out = list(rb.read_bag(p))
+        assert len(out) == n_chunks * per_chunk
+        stamps = [m.stamp for _, m in out]
+        assert stamps == sorted(stamps) and stamps[-1] == 199
+        assert trackers and trackers[0].max_read <= chunk_bytes, \
+            trackers[0].max_read
+
+    def test_bz2_many_chunks(self, tmp_path):
+        chunks = [[(0, "/imu/data", "sensor_msgs/Imu",
+                    _imu_msg(float(c), [1.0, 0, 0, 0], [0, 0, 0], [0, 0, 9.8]))]
+                  for c in range(10)]
+        p = str(tmp_path / "bz.bag")
+        _write_bag_chunked(p, chunks, compression="bz2")
+        out = list(read_bag(p))
+        assert len(out) == 10
+        assert out[-1][1].stamp == pytest.approx(9.0)
+
+
 class TestRosbagReader:
     def _roundtrip(self, tmp_path, compression):
         rng = np.random.default_rng(0)

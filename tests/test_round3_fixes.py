@@ -1,0 +1,178 @@
+"""Round-3 regression tests: loop-closure reference-parity semantics
+(mature-keyframe anchoring, the Livox local-band time tier, same-pair factor
+merging, the non-blocking solve's tail re-chaining) and the max_correction
+gate fixes.
+
+Clouds are handcrafted (three orthogonal planes — fully constrains the ICP)
+so these run without the lidar simulator.
+"""
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lili_om_tpu.models.fusion import FusionConfig
+from lili_om_tpu.models.odometry import OdometryConfig
+from lili_om_tpu.models.pose_graph import add_node
+from lili_om_tpu.models.system import LiliOmSystem, LoopClosureConfig
+
+QID = jnp.array([1.0, 0.0, 0.0, 0.0])
+
+
+def corner_cloud(n=3000, seed=0):
+    """Points on three orthogonal planes (x=0, y=0, z=0 patches)."""
+    rng = np.random.default_rng(seed)
+    m = n // 3
+    a = rng.uniform(0.5, 6.0, (m, 2))
+    p1 = np.column_stack([np.zeros(m), a[:, 0], a[:, 1]])
+    p2 = np.column_stack([a[:, 0], np.zeros(m), a[:, 1]])
+    p3 = np.column_stack([a[:, 0], a[:, 1], np.zeros(m)])
+    return np.concatenate([p1, p2, p3])
+
+
+def make_system(**lc_kwargs):
+    # small ICP shapes — the CPU kNN inside ICP is O(cap²) per iteration
+    lc_kwargs.setdefault("submap_cap", 4096)
+    lc_kwargs.setdefault("icp_iters", 10)
+    return LiliOmSystem(
+        odo_cfg=OdometryConfig(n_recent_frames=4, scan_cap=1024, query_cap=256,
+                               map_cap=4096),
+        fusion_cfg=FusionConfig(window=3, local_map_width=6, kf_surf_cap=1024,
+                                kf_edge_cap=512, map_surf_cap=4096,
+                                map_edge_cap=512, use_reflectivity=False,
+                                max_num_iter=2, imu_cap=16),
+        lc_cfg=LoopClosureConfig(**lc_kwargs),
+        graph_capacity=64,
+        dtype=jnp.float64,
+    )
+
+
+def populate(sys_, poses, stamps, cloud):
+    for (t, q), s in zip(poses, stamps):
+        sys_.graph = add_node(sys_.graph, jnp.asarray(t, jnp.float64), q)
+        sys_.kf_stamps.append(float(s))
+        sys_.kf_positions.append(np.asarray(t, float))
+        sys_.kf_clouds.append(cloud.astype(np.float64))
+
+
+DRIFT = np.array([0.3, -0.2, 0.1])
+
+
+def revisit_setup(sys_, stamps):
+    """7 keyframes; index 4 (= 7 − window) revisits keyframe 0 with a small
+    drift — the reference's mature-anchor configuration."""
+    poses = [
+        (np.zeros(3), QID),
+        (np.array([20.0, 0, 0]), QID),
+        (np.array([20.0, 20.0, 0]), QID),
+        (np.array([0.0, 20.0, 0]), QID),
+        (DRIFT, QID),
+        (DRIFT + np.array([0.5, 0, 0]), QID),
+        (DRIFT + np.array([1.0, 0, 0]), QID),
+    ]
+    populate(sys_, poses, stamps, corner_cloud())
+
+
+class TestLocalBandFallback:
+    """The Livox two-tier time gate (BackendFusion.cpp:2449-2467): when no
+    candidate is older than global_lc_time_thres, the max-|Δt| candidate in
+    (local_lc_time_thres, global_lc_time_thres) closes instead."""
+
+    STAMPS = [0.0, 5.0, 10.0, 15.0, 30.0, 31.0, 32.0]  # Δt(kf0) = 32
+
+    def test_global_only_does_not_fire(self):
+        sys_ = make_system(time_thres=50.0, local_time_thres=None,
+                           search_radius=5.0, map_width=2, latest_width=1)
+        revisit_setup(sys_, self.STAMPS)
+        assert not sys_.try_loop_closure()
+        assert sys_.lc_rejects["no_candidate"] == 1
+
+    def test_local_band_fires(self):
+        sys_ = make_system(time_thres=50.0, local_time_thres=10.0,
+                           search_radius=5.0, map_width=2, latest_width=1)
+        revisit_setup(sys_, self.STAMPS)
+        assert sys_.try_loop_closure()
+        assert int(sys_.graph.n_loops) == 1
+        # the factor anchors at the MATURE keyframe (index 4), not the newest
+        assert int(sys_.graph.loop_i[0]) == 4
+        assert int(sys_.graph.loop_j[0]) == 0
+        # correction pulled the drifted mature node back toward the origin
+        t4 = np.asarray(sys_.graph.t[4])
+        assert np.linalg.norm(t4) < 0.6 * np.linalg.norm(DRIFT)
+
+
+class TestSamePairMerge:
+    STAMPS = [0.0, 5.0, 10.0, 15.0, 40.0, 41.0, 42.0]
+
+    def _fire_twice(self, merge_width):
+        sys_ = make_system(time_thres=20.0, search_radius=5.0, map_width=2,
+                           latest_width=1, merge_width=merge_width)
+        revisit_setup(sys_, self.STAMPS)
+        assert sys_.try_loop_closure()
+        # one more keyframe arrives: the mature index advances to 5, still at
+        # the revisited place → same-pair closure
+        populate(sys_, [(DRIFT + np.array([1.5, 0, 0]), QID)], [43.0],
+                 corner_cloud())
+        assert sys_.try_loop_closure()
+        return sys_
+
+    def test_merges_same_pair(self):
+        sys_ = self._fire_twice(merge_width=10)
+        assert int(sys_.graph.n_loops) == 1  # replaced, not appended
+        assert int(sys_.graph.loop_i[0]) == 5  # superseding measurement
+
+    def test_merge_disabled(self):
+        sys_ = self._fire_twice(merge_width=0)
+        assert int(sys_.graph.n_loops) == 2
+
+
+class TestMaxCorrectionGate:
+    STAMPS = [0.0, 5.0, 10.0, 15.0, 40.0, 41.0, 42.0]
+
+    def test_tiny_threshold_rejects_and_counts(self):
+        sys_ = make_system(time_thres=20.0, search_radius=5.0, map_width=2,
+                           latest_width=1, max_correction=1e-9)
+        revisit_setup(sys_, self.STAMPS)
+        with pytest.warns(UserWarning, match="max_correction"):
+            assert not sys_.try_loop_closure()
+        assert sys_.lc_rejects["max_correction"] == 1
+
+    def test_explicit_zero_disables_gate(self):
+        # 0.0 must mean "gate off", not silently fall back to the auto value
+        # (the old `or` treated any falsy value as unset)
+        sys_ = make_system(time_thres=20.0, search_radius=5.0, map_width=2,
+                           latest_width=1, max_correction=0.0)
+        revisit_setup(sys_, self.STAMPS)
+        assert sys_.try_loop_closure()
+        assert sys_.lc_rejects["max_correction"] == 0
+
+
+class TestNonBlockingSolve:
+    def test_lock_passed_in_fires(self):
+        """try_loop_closure(lock=…) acquires/releases the caller's mutex
+        around the snapshot/update phases only; result identical to inline."""
+        sys_ = make_system(time_thres=20.0, search_radius=5.0, map_width=2,
+                           latest_width=1)
+        revisit_setup(sys_, TestSamePairMerge.STAMPS)
+        lock = threading.Lock()
+        assert sys_.try_loop_closure(lock=lock)
+        assert not lock.locked()  # released
+        assert int(sys_.graph.n_loops) == 1
+
+    def test_tail_rechain(self):
+        """Nodes appended while the (unlocked) solve runs are re-chained by
+        the correction delta of the last solved node."""
+        sys_ = make_system()
+        poses = [(np.array([float(i), 0, 0]), QID) for i in range(5)]
+        populate(sys_, poses, [0.0, 1.0, 2.0, 3.0, 4.0], corner_cloud(300))
+        # pretend the solve covered only the first 3 nodes and shifted the
+        # anchor node (index 2) by +1 in y
+        solved_t = np.array([[0.0, 1, 0], [1, 1, 0], [2, 1, 0]])
+        solved_q = np.tile(np.array([1.0, 0, 0, 0]), (3, 1))
+        sys_._apply_solved_graph(solved_t, solved_q, n0=3)
+        g_t = np.asarray(sys_.graph.t[:5])
+        np.testing.assert_allclose(g_t[:3], solved_t, atol=1e-9)
+        # tail nodes keep their relative offsets to the anchor → also +1 in y
+        np.testing.assert_allclose(g_t[3], [3.0, 1.0, 0.0], atol=1e-9)
+        np.testing.assert_allclose(g_t[4], [4.0, 1.0, 0.0], atol=1e-9)

@@ -165,16 +165,21 @@ class TestLoopClosure:
         from lili_om_tpu.models.pose_graph import add_node
 
         qid = jnp.array([1.0, 0, 0, 0.0])
-        # kf0 at origin with the real cloud
+        # kf0 at origin with the real cloud. The closure anchors at the
+        # MATURE keyframe n − slide_window_width (BackendFusion.cpp:2475) —
+        # the drifted revisit sits at index 4 = 7 − 3, with two newer
+        # keyframes still inside the active window.
         drift = np.array([0.35, -0.2, 0.1])
         poses = [
             (np.zeros(3), qid),  # kf 0
             (np.array([20.0, 0, 0]), qid),  # far away
             (np.array([20.0, 20.0, 0]), qid),
             (np.array([0.0, 20.0, 0]), qid),
-            (drift, qid),  # revisit of kf0, drifted
+            (drift, qid),  # revisit of kf0, drifted — the MATURE keyframe
+            (drift + np.array([0.5, 0.0, 0.0]), qid),  # window keyframes
+            (drift + np.array([1.0, 0.0, 0.0]), qid),
         ]
-        stamps = [0.0, 3.0, 6.0, 9.0, 12.0]
+        stamps = [0.0, 3.0, 6.0, 9.0, 12.0, 13.0, 14.0]
         for (t, q), s in zip(poses, stamps):
             sys_.graph = add_node(sys_.graph, jnp.asarray(t, jnp.float64), q)
             sys_.kf_stamps.append(s)
