@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..factors.lidar import PlaneFactorBatch, huber_weight, plane_residual
 from ..ops.fitting import eig3_symmetric, fit_plane
 from ..ops.knn import knn_auto
-from ..ops.voxel import voxel_downsample
+from ..ops.voxel import merge_voxel_entries, voxel_downsample
 from ..solver.gn import gn_update
 from ..utils.math import (
     exp_so3,
@@ -59,6 +59,18 @@ class OdometryConfig(NamedTuple):
     # for its keyframe ring buffer)
     frame_cap: int = 4096
     ds_leaf: float = 0.4  # voxel leaf for both map & scan (:155-156)
+    # persistent local-map voxel-table capacity (0 → map_cap + 2·frame_cap).
+    # The frontend's local map is INCREMENTAL: frame poses never change
+    # after insertion (the frontend is its own trajectory), so the
+    # 20-frame union downsample — the dominant per-scan sort at 82k points
+    # — is replaced by a persistent (cell, sums, count) table updated with
+    # ±frame_cap entries per frame (one ~T+2·frame_cap sort instead;
+    # ops/voxel.py:merge_voxel_entries). The match map is the table's first
+    # map_cap hash-ordered voxels — the same capacity semantics as the
+    # batch union downsample. Slack above map_cap absorbs hash-rank shifts
+    # so capacity-overflow drops never lose voxels the match map could
+    # later expose.
+    map_table_cap: int = 0
     k: int = 5  # kNN fan-in (:360)
     nn_gate: float = 1.0  # 5th-NN squared... distance gate (d<1.0, :365)
     plane_tol: float = 0.06  # per-neighbor plane validity (:389)
@@ -92,6 +104,12 @@ class OdometryState(NamedTuple):
 
     frames_pts: jnp.ndarray  # (F, S, 3) recent surf clouds, world frame
     frames_mask: jnp.ndarray  # (F, S)
+    # persistent local-map voxel table (see OdometryConfig.map_table_cap):
+    # partial aggregates of the ring frames' union downsample, hash-ordered
+    map_cells: jnp.ndarray  # (T, 3) int32 absolute voxel cells
+    map_sums: jnp.ndarray  # (T, 3) xyz sums
+    map_cnt: jnp.ndarray  # (T,)
+    map_valid: jnp.ndarray  # (T,)
     write_idx: jnp.ndarray  # () int32 ring-buffer cursor
     frame_id: jnp.ndarray  # () int32 frames processed so far
     t: jnp.ndarray  # (3,) current world pose
@@ -101,6 +119,10 @@ class OdometryState(NamedTuple):
     kf_t: jnp.ndarray  # (3,) last keyframe pose
     kf_q: jnp.ndarray  # (4,)
     kf_frame: jnp.ndarray  # () int32 frame id of last keyframe
+
+
+def _table_cap(cfg: OdometryConfig) -> int:
+    return cfg.map_table_cap or (cfg.map_cap + 2 * cfg.frame_cap)
 
 
 class OdometryOut(NamedTuple):
@@ -113,17 +135,49 @@ class OdometryOut(NamedTuple):
 
 
 def init_state(cfg: OdometryConfig, dtype=jnp.float32) -> OdometryState:
-    F, S = cfg.n_recent_frames, cfg.frame_cap
+    F, S, T = cfg.n_recent_frames, cfg.frame_cap, _table_cap(cfg)
     qid = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
     z3 = jnp.zeros(3, dtype)
     return OdometryState(
         frames_pts=jnp.zeros((F, S, 3), dtype),
         frames_mask=jnp.zeros((F, S), bool),
+        map_cells=jnp.zeros((T, 3), jnp.int32),
+        map_sums=jnp.zeros((T, 3), dtype),
+        map_cnt=jnp.zeros((T,), dtype),
+        map_valid=jnp.zeros((T,), bool),
         write_idx=jnp.zeros((), jnp.int32),
         frame_id=jnp.zeros((), jnp.int32),
         t=z3, q=qid, t_prev=z3, q_prev=qid,
         kf_t=z3, kf_q=qid, kf_frame=jnp.zeros((), jnp.int32),
     )
+
+
+def _map_from_table(state: OdometryState, cfg: OdometryConfig):
+    """Match map = the table's first map_cap hash-ordered voxel centroids."""
+    cnt = jnp.maximum(state.map_cnt[: cfg.map_cap], 1.0)
+    pts = state.map_sums[: cfg.map_cap] / cnt[:, None]
+    return pts.astype(state.map_sums.dtype), state.map_valid[: cfg.map_cap]
+
+
+def _update_map_table(state: OdometryState, ws_ds, wm_ds, cfg: OdometryConfig):
+    """Merge the new frame in and the evicted ring frame out of the
+    persistent table (one T+2·frame_cap-entry sort — see
+    OdometryConfig.map_table_cap). Must run BEFORE the ring-slot overwrite;
+    entry aggregation is linear, so the evicted frame subtracts as its
+    points with −1 counts."""
+    leaf = cfg.ds_leaf
+    ev_pts = state.frames_pts[state.write_idx]
+    ev_mask = state.frames_mask[state.write_idx]
+    one = jnp.ones((), ws_ds.dtype)
+    cells = jnp.concatenate([
+        state.map_cells,
+        jnp.floor(ws_ds / leaf).astype(jnp.int32),
+        jnp.floor(ev_pts / leaf).astype(jnp.int32)])
+    sums = jnp.concatenate([state.map_sums, ws_ds, -ev_pts])
+    cnt = jnp.concatenate([state.map_cnt, wm_ds.astype(ws_ds.dtype),
+                           -ev_mask.astype(ws_ds.dtype)])
+    valid = jnp.concatenate([state.map_valid, wm_ds, ev_mask])
+    return merge_voxel_entries(cells, sums, cnt, valid, _table_cap(cfg))
 
 
 def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryConfig):
@@ -230,10 +284,11 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
     t_guess = state.t + quat_rotate(state.q, rel_t)
     q_guess = quat_normalize(quat_mul(state.q, rel_q))
 
-    # --- local map: concat ring buffer → voxel downsample (:280-323) ---
-    all_pts = state.frames_pts.reshape(F * S, 3)
-    all_mask = state.frames_mask.reshape(F * S)
-    map_pts, map_mask = voxel_downsample(all_pts, all_mask, cfg.ds_leaf, cfg.map_cap)
+    # --- local map (:280-323): the persistent voxel table replaces the
+    # per-scan 82k-point union re-downsample — frontend frame poses are
+    # fixed at insertion, so the union only changes by ±1 frame per scan
+    # (see OdometryConfig.map_table_cap) ---
+    map_pts, map_mask = _map_from_table(state, cfg)
 
     # --- downsample the scan (sensor frame) into the query set ---
     scan_q, scan_q_mask = voxel_downsample(surf_pts, surf_mask, cfg.ds_leaf, cfg.query_cap)
@@ -272,16 +327,22 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
     # --- /each_odom relative pose (:609-622) ---
     out_rel_t, out_rel_q = pose_relative(state.t, state.q, t, q)
 
-    # --- ring-buffer insert of this frame's surf cloud in world frame,
-    # voxel-downsampled at insert (see the ``frame_cap`` config note) ---
-    world_scan = quat_rotate(q[None, :], surf_pts) + t[None, :]
-    ws_ds, wm_ds = voxel_downsample(world_scan, surf_mask, cfg.ds_leaf, cfg.frame_cap)
-    frames_pts = state.frames_pts.at[state.write_idx].set(ws_ds.astype(dtype))
+    # --- ring-buffer insert: the SENSOR-downsampled scan (the query set)
+    # transformed by the solved pose — exactly the reference's deque of
+    # downsampled scans in world (buildLocalMap :280-303 concats the
+    # transformed ds scans); no second world-frame downsample ---
+    ws_ds, wm_ds = _frame_from_scan(scan_q, scan_q_mask, t, q, cfg)
+    ws_ds = ws_ds.astype(dtype)
+    map_cells, map_sums, map_cnt, map_valid = _update_map_table(
+        state, ws_ds, wm_ds, cfg)
+    frames_pts = state.frames_pts.at[state.write_idx].set(ws_ds)
     frames_mask = state.frames_mask.at[state.write_idx].set(wm_ds)
 
     new_state = OdometryState(
         frames_pts=frames_pts,
         frames_mask=frames_mask,
+        map_cells=map_cells, map_sums=map_sums, map_cnt=map_cnt,
+        map_valid=map_valid,
         write_idx=(state.write_idx + 1) % F,
         frame_id=state.frame_id + 1,
         t=t, q=q, t_prev=state.t, q_prev=state.q,
@@ -290,6 +351,16 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
     out = OdometryOut(t=t, q=q, rel_t=out_rel_t, rel_q=out_rel_q,
                       is_keyframe=is_kf, n_corr=n_corr)
     return new_state, out
+
+
+def _frame_from_scan(scan_q, scan_q_mask, t, q, cfg: OdometryConfig):
+    """World-frame ring entry from the sensor-downsampled query set."""
+    ws = quat_rotate(q[None, :], scan_q) + t[None, :]
+    if cfg.frame_cap == cfg.query_cap:
+        return ws, scan_q_mask
+    from ..ops.voxel import pad_cloud
+
+    return pad_cloud(ws, scan_q_mask, cfg.frame_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -307,13 +378,10 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
 def _odo_prepare(state: OdometryState, surf_pts, surf_mask, cfg: OdometryConfig):
     """Pose prior + local-map/scan voxel downsample (the pre-matching phase
     of ``odometry_step``)."""
-    F, S = cfg.n_recent_frames, cfg.frame_cap
     rel_t, rel_q = pose_relative(state.t_prev, state.q_prev, state.t, state.q)
     t_guess = state.t + quat_rotate(state.q, rel_t)
     q_guess = quat_normalize(quat_mul(state.q, rel_q))
-    all_pts = state.frames_pts.reshape(F * S, 3)
-    all_mask = state.frames_mask.reshape(F * S)
-    map_pts, map_mask = voxel_downsample(all_pts, all_mask, cfg.ds_leaf, cfg.map_cap)
+    map_pts, map_mask = _map_from_table(state, cfg)
     scan_q, scan_q_mask = voxel_downsample(surf_pts, surf_mask, cfg.ds_leaf, cfg.query_cap)
     return t_guess, q_guess, scan_q, scan_q_mask, map_pts, map_mask
 
@@ -330,12 +398,12 @@ def _odo_round_tail(t, q, scan_q, scan_q_mask, pw, map_pts, d2, idx,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _odo_finalize(state: OdometryState, surf_pts, surf_mask,
+def _odo_finalize(state: OdometryState, scan_q, scan_q_mask,
                   t_guess, q_guess, t, q, n_corr, cfg: OdometryConfig):
     """Divergence gate + keyframe decision + ring-buffer insert (the
     post-matching phase of ``odometry_step``)."""
     F = cfg.n_recent_frames
-    dtype = surf_pts.dtype
+    dtype = scan_q.dtype
     diverged = jnp.linalg.norm(t - t_guess) > cfg.max_frame_jump
     t = jnp.where(diverged, t_guess, t)
     q = jnp.where(diverged, q_guess, q)
@@ -356,14 +424,18 @@ def _odo_finalize(state: OdometryState, surf_pts, surf_mask,
 
     out_rel_t, out_rel_q = pose_relative(state.t, state.q, t, q)
 
-    world_scan = quat_rotate(q[None, :], surf_pts) + t[None, :]
-    ws_ds, wm_ds = voxel_downsample(world_scan, surf_mask, cfg.ds_leaf, cfg.frame_cap)
-    frames_pts = state.frames_pts.at[state.write_idx].set(ws_ds.astype(dtype))
+    ws_ds, wm_ds = _frame_from_scan(scan_q, scan_q_mask, t, q, cfg)
+    ws_ds = ws_ds.astype(dtype)
+    map_cells, map_sums, map_cnt, map_valid = _update_map_table(
+        state, ws_ds, wm_ds, cfg)
+    frames_pts = state.frames_pts.at[state.write_idx].set(ws_ds)
     frames_mask = state.frames_mask.at[state.write_idx].set(wm_ds)
 
     new_state = OdometryState(
         frames_pts=frames_pts,
         frames_mask=frames_mask,
+        map_cells=map_cells, map_sums=map_sums, map_cnt=map_cnt,
+        map_valid=map_valid,
         write_idx=(state.write_idx + 1) % F,
         frame_id=state.frame_id + 1,
         t=t, q=q, t_prev=state.t, q_prev=state.q,
@@ -391,5 +463,5 @@ def odometry_step_split(state: OdometryState, surf_pts, surf_mask,
         d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
         t, q, n_corr = _odo_round_tail(t, q, scan_q, scan_q_mask, pw,
                                        map_pts, d2, idx, cfg)
-    return _odo_finalize(state, surf_pts, surf_mask, t_guess, q_guess,
+    return _odo_finalize(state, scan_q, scan_q_mask, t_guess, q_guess,
                          t, q, n_corr, cfg)

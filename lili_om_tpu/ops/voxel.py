@@ -136,7 +136,8 @@ def voxel_downsample(
         payload.append(feats[order])
     payload.append(ones[:, None])
     stacked = jnp.concatenate(payload, axis=1) * ones[:, None]
-    sums = jax.ops.segment_sum(stacked, seg_id_c, num_segments=max_out + 1)[:max_out]
+    sums = jax.ops.segment_sum(stacked, seg_id_c, num_segments=max_out + 1,
+                               indices_are_sorted=True)[:max_out]
     cnt = sums[:, -1]
     out_mask = cnt > 0
     denom = jnp.maximum(cnt, 1.0)[:, None]
@@ -203,13 +204,16 @@ def voxel_downsample_ordered(
     payload.append(ones[:, None])
     stacked = jnp.concatenate(payload, axis=1) * ones[:, None]
     run_sums = jax.ops.segment_sum(stacked, run_id_c,
-                                   num_segments=runs_cap + 1)[:runs_cap]
+                                   num_segments=runs_cap + 1,
+                                   indices_are_sorted=True)[:runs_cap]
     # every point of a run shares (key, group): min-reduce recovers them
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
     run_key = jax.ops.segment_min(jnp.where(in_cap, key, big), run_id_c,
-                                  num_segments=runs_cap + 1)[:runs_cap]
+                                  num_segments=runs_cap + 1,
+                                  indices_are_sorted=True)[:runs_cap]
     run_grp = jax.ops.segment_max(jnp.where(in_cap, grp, jnp.int32(-(2**31))),
-                                  run_id_c, num_segments=runs_cap + 1)[:runs_cap]
+                                  run_id_c, num_segments=runs_cap + 1,
+                                  indices_are_sorted=True)[:runs_cap]
     run_valid = run_sums[:, -1] > 0
 
     # ---- stage 2: the standard hash-ordered merge, over runs ----
@@ -236,7 +240,8 @@ def voxel_downsample_ordered(
     in_cap2 = (seg_id < max_out) & valid_s
     seg_id_c = jnp.where(in_cap2, seg_id, max_out)
     sums = jax.ops.segment_sum(sums_s * in_cap2[:, None].astype(sums_s.dtype),
-                               seg_id_c, num_segments=max_out + 1)[:max_out]
+                               seg_id_c, num_segments=max_out + 1,
+                               indices_are_sorted=True)[:max_out]
     cnt = sums[:, -1]
     out_mask = cnt > 0
     denom = jnp.maximum(cnt, 1.0)[:, None]
@@ -298,14 +303,16 @@ def merge_voxel_entries(cells, sums, cnt, valid, num_out: int,
 
     def reduce(sel_w):
         s = jax.ops.segment_sum(payload * sel_w[:, None], seg_id_c,
-                                num_segments=num_out + 1)[:num_out]
+                                num_segments=num_out + 1,
+                                indices_are_sorted=True)[:num_out]
         c = s[:, -1]
         v = c > 0.5  # integer counts in f32; fp residue of add/sub ≈ 1e-5
         return s[:, :-1], c, v
 
     out_sums, out_cnt, out_valid = reduce(w)
     out_cells = jax.ops.segment_min(cells_s, seg_id_c,
-                                    num_segments=num_out + 1)[:num_out]
+                                    num_segments=num_out + 1,
+                                    indices_are_sorted=True)[:num_out]
     out_cells = jnp.where(out_valid[:, None], out_cells, 0)
     if second_sel is None:
         return out_cells, out_sums, out_cnt, out_valid

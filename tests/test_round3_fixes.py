@@ -148,6 +148,46 @@ class TestMaxCorrectionGate:
         assert sys_.lc_rejects["max_correction"] == 0
 
 
+class TestIncrementalOdometryMap:
+    def test_table_matches_batch_union(self):
+        """The persistent voxel table reproduces the batch ring-union
+        downsample at every step (same voxel set, same centroids) while the
+        ring slides — including evictions after the ring wraps."""
+        import jax.numpy as jnp
+
+        from lili_om_tpu.models.odometry import (OdometryConfig, init_state,
+                                                 odometry_step)
+        from lili_om_tpu.ops.voxel import voxel_downsample
+
+        cfg = OdometryConfig(n_recent_frames=3, scan_cap=512, query_cap=256,
+                             map_cap=2048, frame_cap=256, scan_match_cnt=1,
+                             gn_iters=2)
+        state = init_state(cfg, dtype=jnp.float64)
+        rng = np.random.default_rng(7)
+        for k in range(8):  # ring wraps at 3 — evictions exercised
+            base = np.array([0.4 * k, 0.1 * k, 0.0])
+            cc = corner_cloud(400, seed=k)
+            surf = np.zeros((512, 3))
+            surf[: len(cc)] = base + cc
+            mask = np.zeros(512, bool)
+            mask[: len(cc) - 10] = True  # a few masked-out tail points
+            state, _ = odometry_step(state, jnp.asarray(surf),
+                                     jnp.asarray(mask), cfg, n_rounds=1)
+            # batch union of the post-insert ring
+            all_pts = state.frames_pts.reshape(-1, 3)
+            all_mask = state.frames_mask.reshape(-1)
+            bm, bmask = voxel_downsample(all_pts, all_mask, cfg.ds_leaf,
+                                         cfg.map_cap)
+            batch = np.asarray(bm)[np.asarray(bmask)]
+            cnt = np.maximum(np.asarray(state.map_cnt), 1.0)
+            table = (np.asarray(state.map_sums) / cnt[:, None])[
+                np.asarray(state.map_valid)]
+            assert len(batch) == len(table), (k, len(batch), len(table))
+            bs = batch[np.lexsort(np.round(batch / 1e-6).T)]
+            ts_ = table[np.lexsort(np.round(table / 1e-6).T)]
+            np.testing.assert_allclose(bs, ts_, atol=1e-6)
+
+
 class TestNonBlockingSolve:
     def test_lock_passed_in_fires(self):
         """try_loop_closure(lock=…) acquires/releases the caller's mutex
