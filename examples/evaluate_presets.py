@@ -63,11 +63,21 @@ def run_preset(name: str, frames: int, dtype, tum_dir=None):
     livox = cfg.variant == "livox"
     pattern = (livox_pattern() if livox
                else spinning_pattern(n_rings=rings, n_cols=900))
+    # place rays at the SENSOR pose implied by the preset's lidar->body
+    # extrinsic (p_body = q_lb^-1 (p_sensor - t_lb)); feeding body-frame
+    # scans to an extrinsic-configured system corrupts the geometry
+    from lili_om_tpu.utils.math import quat_conj_np, quat_rotate_np
+
+    q_lb = np.asarray(cfg.fusion.q_lb, float)
+    t_lb = np.asarray(cfg.fusion.t_lb, float)
+    q_sl = quat_conj_np(q_lb[None])[0]
+    t_sl = -quat_rotate_np(q_sl[None], t_lb[None])[0]
     gt_t, gt_q, loops = [], [], 0
     t_start = time.time()
     for k in range(frames):
         ts = k * PERIOD
-        scan = simulate_scan(world, traj, ts, pattern, period=PERIOD)
+        scan = simulate_scan(world, traj, ts, pattern, period=PERIOD,
+                             t_sl=t_sl, q_sl=q_sl)
         if livox:
             sys_.process_scan_livox(scan.pts, scan.line, scan.rel_time,
                                     scan.reflectivity, scan.valid, ts)

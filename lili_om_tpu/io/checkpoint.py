@@ -73,6 +73,8 @@ def save_system(path: str, system) -> None:
         "kf_count_host": int(system._kf_count_host),
         "starved_frames": int(system._starved_frames),
         "last_rel_t": list(map(float, system._last_rel_t)),
+        "maps_dirty": bool(system._maps_dirty),
+        "loop_pairs": [[int(i), int(j)] for i, j in system._loop_pairs],
     }
     with open(path + ".json", "w") as f:
         json.dump(meta, f)
@@ -128,6 +130,10 @@ def load_system(path: str, system) -> None:
                                          system.fusion_state.kf_count))
     system._starved_frames = int(meta.get("starved_frames", 0))
     system._last_rel_t = np.asarray(meta.get("last_rel_t", [0.0, 0.0, 0.0]))
+    # older checkpoints predate the incremental map tables: rebuild once
+    system._maps_dirty = bool(meta.get("maps_dirty", True))
+    system._loop_pairs = [(int(i), int(j))
+                          for i, j in meta.get("loop_pairs", [])]
     if "imu_stamps" in data:
         system._imu_stamps = data["imu_stamps"]
         system._imu_accs = data["imu_accs"]

@@ -55,7 +55,7 @@ from ..ops.preintegration import (
     propagate_world_parallel,
     sqrt_info,
 )
-from ..ops.voxel import voxel_downsample
+from ..ops.voxel import merge_voxel_entries, voxel_downsample
 from ..solver.gn import solve_normal
 from ..utils.math import quat_conj, quat_mul, quat_normalize, quat_rotate, unify_quaternion
 
@@ -66,6 +66,12 @@ class FusionConfig(NamedTuple):
 
     window: int = 3  # slide_window_width
     local_map_width: int = 40
+    # extra PHYSICAL ring slots beyond local_map_width — permanently
+    # invalid padding so the slot axis divides a device mesh
+    # (LiliOmSystem(mesh=…) sets this to ceil(M/n)·n − M; the ring-cursor
+    # arithmetic stays modulo local_map_width, so the logical map width —
+    # and reference parity — is unchanged)
+    map_slots_pad: int = 0
     kf_surf_cap: int = 2048  # stored surf points per keyframe (post 0.4-voxel)
     kf_edge_cap: int = 1024  # stored edge points per keyframe
     map_surf_cap: int = 32768
@@ -98,6 +104,17 @@ class FusionConfig(NamedTuple):
     # "centered": covariance plane fit (f32-stable); "ref": the reference's
     # origin-dependent weighted A·n=−1 form (see models/odometry.py note)
     plane_fit: str = "centered"
+    # incremental local-map build: keyframes that have EXITED the active
+    # window have frozen poses (only a loop closure moves them — that
+    # triggers a host-flagged rebuild), so their world-frame voxel
+    # aggregates persist in a (cell, sums, count) table; per keyframe the
+    # match map merges [table + the W previous-window keyframes] and the
+    # table updates [+newly-matured − ring-evicted] — ONE ~45k-entry sort
+    # instead of re-transforming and re-sorting the full 102k+51k ring
+    # union (buildLocalMapWithLandMark semantics preserved,
+    # BackendFusion.cpp:1387-1528). Forced off under the map-sharded mesh
+    # path (parallel/map_fusion.py shards the ring, not the table).
+    incremental_map: bool = True
     # lidar→body extrinsic (config ql2b/tl2b); identity by default
     q_lb: tuple = (1.0, 0.0, 0.0, 0.0)
     t_lb: tuple = (0.0, 0.0, 0.0)
@@ -124,6 +141,16 @@ class FusionState(NamedTuple):
     hist_valid: jnp.ndarray  # (M,)
     write_idx: jnp.ndarray  # () int32
     kf_count: jnp.ndarray  # () int32
+    # --- mature-keyframe map tables (see FusionConfig.incremental_map;
+    # shape (1,·) placeholders when disabled) ---
+    msurf_cells: jnp.ndarray  # (Ts,3) int32 absolute voxel cells
+    msurf_sums: jnp.ndarray  # (Ts,4) [x,y,z,refl] sums
+    msurf_cnt: jnp.ndarray  # (Ts,)
+    msurf_valid: jnp.ndarray  # (Ts,)
+    medge_cells: jnp.ndarray  # (Te,3)
+    medge_sums: jnp.ndarray  # (Te,3)
+    medge_cnt: jnp.ndarray  # (Te,)
+    medge_valid: jnp.ndarray  # (Te,)
     # --- IMU chaining ---
     acc0: jnp.ndarray  # (3,) last consumed sample
     gyr0: jnp.ndarray  # (3,)
@@ -145,7 +172,7 @@ def init_fusion_state(cfg: FusionConfig, noise: ImuNoise,
                       t0=None, q0=None, v0=None, dtype=jnp.float32) -> FusionState:
     """Fresh state; ``q0`` seeds the first orientation (the reference reads it
     from the IMU's orientation quaternion, imuHandler :624-665)."""
-    W, M = cfg.window, cfg.local_map_width
+    W, M = cfg.window, cfg.local_map_width + cfg.map_slots_pad
     Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
     qid = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
     t0 = jnp.zeros(3, dtype) if t0 is None else jnp.asarray(t0, dtype)
@@ -160,6 +187,7 @@ def init_fusion_state(cfg: FusionConfig, noise: ImuNoise,
         v0=jnp.zeros((W - 1, 3), dtype), ba0=jnp.zeros((W - 1, 3), dtype),
         bg0=jnp.zeros((W - 1, 3), dtype), valid=jnp.zeros((), bool),
     )
+    Ts, Te = _table_caps(cfg)
     return FusionState(
         t=jnp.tile(t0, (W, 1)), q=jnp.tile(q0, (W, 1)), v=jnp.tile(v0, (W, 1)),
         ba=jnp.zeros((W, 3), dtype), bg=jnp.zeros((W, 3), dtype),
@@ -170,8 +198,24 @@ def init_fusion_state(cfg: FusionConfig, noise: ImuNoise,
         hist_t=jnp.zeros((M, 3), dtype), hist_q=jnp.tile(qid, (M, 1)),
         hist_valid=jnp.zeros((M,), bool),
         write_idx=jnp.zeros((), jnp.int32), kf_count=jnp.zeros((), jnp.int32),
+        msurf_cells=jnp.zeros((Ts, 3), jnp.int32),
+        msurf_sums=jnp.zeros((Ts, 4), dtype),
+        msurf_cnt=jnp.zeros((Ts,), dtype), msurf_valid=jnp.zeros((Ts,), bool),
+        medge_cells=jnp.zeros((Te, 3), jnp.int32),
+        medge_sums=jnp.zeros((Te, 3), dtype),
+        medge_cnt=jnp.zeros((Te,), dtype), medge_valid=jnp.zeros((Te,), bool),
         acc0=jnp.zeros(3, dtype), gyr0=jnp.zeros(3, dtype),
     )
+
+
+def _table_caps(cfg: FusionConfig):
+    """(surf, edge) mature-table capacities — the match-map caps plus slack
+    for hash-rank shifts (see OdometryConfig.map_table_cap note); (1, 1)
+    placeholders when the incremental build is disabled."""
+    if not cfg.incremental_map:
+        return 1, 1
+    return (cfg.map_surf_cap + 2 * cfg.kf_surf_cap,
+            cfg.map_edge_cap + 2 * cfg.kf_edge_cap)
 
 
 def clamp_accel(accs: jnp.ndarray) -> jnp.ndarray:
@@ -287,10 +331,113 @@ def edge_fit_and_gate(pts_b, pts_mask, d2, nbrs, cfg: FusionConfig) -> EdgeFacto
     )
 
 
+def _incremental_maps(state: FusionState, cfg: FusionConfig, rebuild: bool):
+    """Match maps + updated mature tables from ONE merge per feature kind
+    (see FusionConfig.incremental_map). Runs on the PRE-insert state.
+
+    * match map = mature table ∪ the W previous-window keyframes at their
+      current ring poses — exactly the batch pre-insert union
+      (buildLocalMapWithLandMark :1387-1484);
+    * table' = table + slot (wi−W) (newly matured, pose frozen at the last
+      write-back) − the old content of slot wi (evicted by this insert);
+    * ``rebuild`` (static): recompute the table from the full ring instead
+      (loop closures rewrite mature poses — the host flags the next step).
+    """
+    M, W = cfg.local_map_width, cfg.window
+    Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
+    dtype = state.t.dtype
+    wi = state.write_idx
+    Ts, Te = _table_caps(cfg)
+    prevwin = (wi - W + jnp.arange(W)) % M  # last W inserted slots, oldest first
+
+    def world(slots, clouds):
+        return (quat_rotate(state.hist_q[slots][:, None, :], clouds[slots])
+                + state.hist_t[slots][:, None, :])
+
+    def build(clouds, masks, refl, table, leaf, Tcap, map_cap):
+        Mp = clouds.shape[0]  # physical slots (M + map_slots_pad)
+        if rebuild:
+            pts = (quat_rotate(state.hist_q[:, None, :], clouds)
+                   + state.hist_t[:, None, :]).reshape(Mp * clouds.shape[1], 3)
+            msk = (masks & state.hist_valid[:, None]).reshape(-1)
+            # the rebuilt table is the NEXT step's mature set: everything
+            # except the post-insert window slots {wi−W+1..wi} (slot wi's
+            # pre-insert content is evicted by this step's insert)
+            nextwin = (prevwin + 1) % M
+            in_next = jnp.any(jnp.arange(Mp)[:, None] == nextwin[None, :], axis=1)
+            sel_table = jnp.broadcast_to((~in_next)[:, None],
+                                         masks.shape).reshape(-1)
+            sums = pts if refl is None else jnp.concatenate(
+                [pts, refl.reshape(-1, 1)], axis=1)
+            sums = sums * msk[:, None].astype(dtype)
+            cells = jnp.floor(pts / leaf).astype(jnp.int32)
+            cnt = msk.astype(dtype)
+            (mc, ms, mn, mv), (tc, tsum, tn, tv) = merge_voxel_entries(
+                cells, sums, cnt, msk, Tcap, second_sel=sel_table)
+        else:
+            K = W * clouds.shape[1]
+            live = world(prevwin, clouds).reshape(K, 3)
+            live_mask = (masks[prevwin]
+                         & state.hist_valid[prevwin, None]).reshape(-1)
+            ev = world(wi[None], clouds).reshape(clouds.shape[1], 3)
+            ev_mask = masks[wi] & state.hist_valid[wi]
+            if refl is None:
+                live_sums, ev_sums = live, ev
+                tbl_sums = table[1]
+            else:
+                live_sums = jnp.concatenate(
+                    [live, refl[prevwin].reshape(-1, 1)], axis=1)
+                ev_sums = jnp.concatenate(
+                    [ev, refl[wi].reshape(-1, 1)], axis=1)
+                tbl_sums = table[1]
+            cells = jnp.concatenate([
+                table[0],
+                jnp.floor(live / leaf).astype(jnp.int32),
+                jnp.floor(ev / leaf).astype(jnp.int32)])
+            sums = jnp.concatenate([
+                tbl_sums,
+                live_sums * live_mask[:, None].astype(dtype),
+                -(ev_sums * ev_mask[:, None].astype(dtype))])
+            cnt = jnp.concatenate([table[2], live_mask.astype(dtype),
+                                   -ev_mask.astype(dtype)])
+            valid = jnp.concatenate([table[3], live_mask, ev_mask])
+            # match = table + live; table' = table + slot(wi−W) − evicted
+            S1 = clouds.shape[1]
+            live_rows = jnp.arange(K) < S1  # prevwin[0] = the maturing slot
+            sel_match = jnp.concatenate([
+                jnp.ones((Tcap,), bool), jnp.ones((K,), bool),
+                jnp.zeros((S1,), bool)])
+            sel_table = jnp.concatenate([
+                jnp.ones((Tcap,), bool), live_rows, jnp.ones((S1,), bool)])
+            (mc, ms, mn, mv), (tc, tsum, tn, tv) = merge_voxel_entries(
+                cells, sums, cnt, valid, Tcap,
+                primary_sel=sel_match, second_sel=sel_table)
+        den = jnp.maximum(mn, 1.0)[:, None]
+        map_pts = (ms[:, :3] / den)[:map_cap].astype(dtype)
+        map_mask = mv[:map_cap]
+        map_refl = ((ms[:, 3] / den[:, 0])[:map_cap].astype(dtype)
+                    if refl is not None else None)
+        return map_pts, map_refl, map_mask, (tc, tsum.astype(dtype),
+                                             tn.astype(dtype), tv)
+
+    map_surf, map_refl, map_surf_mask, surf_table = build(
+        state.hist_surf, state.hist_surf_mask, state.hist_surf_refl,
+        (state.msurf_cells, state.msurf_sums, state.msurf_cnt,
+         state.msurf_valid), cfg.surf_leaf, Ts, cfg.map_surf_cap)
+    map_edge, _, map_edge_mask, edge_table = build(
+        state.hist_edge, state.hist_edge_mask, None,
+        (state.medge_cells, state.medge_sums, state.medge_cnt,
+         state.medge_valid), cfg.edge_leaf, Te, cfg.map_edge_cap)
+    enough_map = (jnp.sum(map_surf_mask.astype(jnp.int32)) > 50) & (
+        jnp.sum(map_edge_mask.astype(jnp.int32)) > 0)  # (:936)
+    return (map_surf, map_refl, map_surf_mask, map_edge, map_edge_mask,
+            enough_map, surf_table, edge_table)
+
+
 def _build_maps(state: FusionState, cfg: FusionConfig):
     """Local feature maps from the keyframe ring buffer
     (buildLocalMapWithLandMark :1387-1484, downSampleCloud :1486-1528)."""
-    M = cfg.local_map_width
+    M = state.hist_surf.shape[0]  # physical slots (M + map_slots_pad)
     hist_world = quat_rotate(state.hist_q[:, None, :], state.hist_surf) + state.hist_t[:, None, :]
     hmask = state.hist_surf_mask & state.hist_valid[:, None]
     map_surf, map_refl, map_surf_mask = voxel_downsample(
@@ -463,19 +610,46 @@ class FusionMid(NamedTuple):
     win_surf_refl: jnp.ndarray
     win_edge_b: jnp.ndarray
     win_edge_mask: jnp.ndarray
+    # incremental match maps + updated mature tables (placeholders when
+    # cfg.incremental_map is off — the batch _build_maps path runs instead)
+    map_surf: jnp.ndarray
+    map_refl: jnp.ndarray
+    map_surf_mask: jnp.ndarray
+    map_edge: jnp.ndarray
+    map_edge_mask: jnp.ndarray
+    enough_map: jnp.ndarray
+    surf_table: tuple  # (cells, sums, cnt, valid)
+    edge_table: tuple
     acc0: jnp.ndarray
     gyr0: jnp.ndarray
 
 
 def _ingest(state: FusionState, surf_pts, surf_mask, surf_refl,
             edge_pts, edge_mask, imu_dts, imu_accs, imu_gyrs, imu_valid,
-            cfg: FusionConfig, noise: ImuNoise) -> FusionMid:
+            cfg: FusionConfig, noise: ImuNoise,
+            rebuild: bool = False) -> FusionMid:
     """Phases A–E: IMU propagate/preintegrate, window shift, ring-buffer
-    insert, window cloud gather + extrinsic pre-apply."""
+    insert, window cloud gather + extrinsic pre-apply (+ the incremental
+    match-map/table merge, which must see the PRE-insert ring)."""
     W, M = cfg.window, cfg.local_map_width
     dtype = state.t.dtype
     q_lb = jnp.asarray(cfg.q_lb, dtype)
     t_lb = jnp.asarray(cfg.t_lb, dtype)
+
+    if cfg.incremental_map:
+        (map_surf, map_refl, map_surf_mask, map_edge, map_edge_mask,
+         enough_map, surf_table, edge_table) = _incremental_maps(
+            state, cfg, rebuild)
+    else:
+        z1 = jnp.zeros((1,), dtype)
+        map_surf = map_edge = jnp.zeros((1, 3), dtype)
+        map_refl = z1
+        map_surf_mask = map_edge_mask = jnp.zeros((1,), bool)
+        enough_map = jnp.zeros((), bool)
+        surf_table = (state.msurf_cells, state.msurf_sums, state.msurf_cnt,
+                      state.msurf_valid)
+        edge_table = (state.medge_cells, state.medge_sums, state.medge_cnt,
+                      state.medge_valid)
 
     accs = clamp_accel(imu_accs)
 
@@ -549,6 +723,9 @@ def _ingest(state: FusionState, surf_pts, surf_mask, surf_refl,
         win_surf_b=win_surf_b, win_surf_mask=win_surf_mask,
         win_surf_refl=win_surf_refl,
         win_edge_b=win_edge_b, win_edge_mask=win_edge_mask,
+        map_surf=map_surf, map_refl=map_refl, map_surf_mask=map_surf_mask,
+        map_edge=map_edge, map_edge_mask=map_edge_mask,
+        enough_map=enough_map, surf_table=surf_table, edge_table=edge_table,
         acc0=acc0, gyr0=gyr0,
     )
 
@@ -667,6 +844,10 @@ def _finish(state: FusionState, mid: FusionMid, surf_batches, edge_batches,
         hist_edge=mid.hist_edge, hist_edge_mask=mid.hist_edge_mask,
         hist_t=hist_t, hist_q=hist_q, hist_valid=mid.hist_valid,
         write_idx=(wi + 1) % M, kf_count=state.kf_count + 1,
+        msurf_cells=mid.surf_table[0], msurf_sums=mid.surf_table[1],
+        msurf_cnt=mid.surf_table[2], msurf_valid=mid.surf_table[3],
+        medge_cells=mid.edge_table[0], medge_sums=mid.edge_table[1],
+        medge_cnt=mid.edge_table[2], medge_valid=mid.edge_table[3],
         acc0=mid.acc0, gyr0=mid.gyr0,
     )
     out = FusionOut(
@@ -679,7 +860,32 @@ def _finish(state: FusionState, mid: FusionMid, surf_batches, edge_batches,
     return new_state, out
 
 
-@partial(jax.jit, static_argnames=("cfg", "noise", "warmup", "match_fn"))
+def _match_with_maps(mid: FusionMid, cfg: FusionConfig):
+    """Flattened-window correspondence search against the incremental match
+    maps carried in ``mid`` (the phase-C half of default_map_and_match)."""
+    W = cfg.window
+    Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
+    pw_surf = (quat_rotate(mid.qs[:, None, :], mid.win_surf_b)
+               + mid.ts[:, None, :]).reshape(W * Sc, 3)
+    sb_flat = _surf_correspondences(
+        mid.win_surf_b.reshape(W * Sc, 3), pw_surf,
+        mid.win_surf_mask.reshape(W * Sc), mid.win_surf_refl.reshape(W * Sc),
+        mid.map_surf, mid.map_surf_mask, mid.map_refl, cfg)
+    surf_batches = PlaneFactorBatch(*[a.reshape((W, Sc) + a.shape[1:])
+                                      for a in sb_flat])
+    pw_edge = (quat_rotate(mid.qs[:, None, :], mid.win_edge_b)
+               + mid.ts[:, None, :]).reshape(W * Ec, 3)
+    eb_flat = _edge_correspondences(
+        mid.win_edge_b.reshape(W * Ec, 3), pw_edge,
+        mid.win_edge_mask.reshape(W * Ec), mid.map_edge, mid.map_edge_mask,
+        cfg)
+    edge_batches = EdgeFactorBatch(*[a.reshape((W, Ec) + a.shape[1:])
+                                     for a in eb_flat])
+    return surf_batches, edge_batches, mid.enough_map
+
+
+@partial(jax.jit, static_argnames=("cfg", "noise", "warmup", "match_fn",
+                                   "rebuild"))
 def fusion_step(
     state: FusionState,
     surf_pts: jnp.ndarray,  # (Sc,3) lidar frame (frontend-downsampled)
@@ -695,6 +901,7 @@ def fusion_step(
     noise: ImuNoise = ImuNoise(),
     warmup: bool = False,
     match_fn=None,
+    rebuild: bool = False,
 ):
     """Ingest one keyframe: IMU propagate + preintegrate, window shift,
     local-map correspondence, sliding-window GN, guarded write-back,
@@ -706,23 +913,32 @@ def fusion_step(
     program instead of a traced ``cond`` doubling the main program.
 
     ``match_fn`` (static): map-build + correspondence phase; defaults to
+    the incremental-table maps (FusionConfig.incremental_map) or
     :func:`default_map_and_match`. The multi-chip path injects the
-    map-sharded variant (parallel/map_fusion.py).
+    map-sharded variant (parallel/map_fusion.py), which bypasses the
+    incremental tables.
+
+    ``rebuild`` (static): batch-rebuild the mature map tables from the ring
+    — pass True for the first step after a loop-closure pose correction.
     """
     dtype = state.t.dtype
     mid = _ingest(state, surf_pts, surf_mask, surf_refl, edge_pts, edge_mask,
-                  imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise)
+                  imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise,
+                  rebuild=rebuild)
 
     if warmup:
         surf_batches, edge_batches = _zero_batches(mid, dtype)
     else:
-        # map build + correspondence search — the map comes from the
-        # PRE-insert ring buffer (the reference's local map excludes the
-        # incoming keyframe, :1387-1484); injectable for the sharded path
-        mf = match_fn or default_map_and_match
-        surf_batches, edge_batches, enough_map = mf(
-            state, mid.ts, mid.qs, mid.win_surf_b, mid.win_surf_mask,
-            mid.win_surf_refl, mid.win_edge_b, mid.win_edge_mask, cfg)
+        # correspondence search — the map comes from the PRE-insert ring
+        # buffer (the reference's local map excludes the incoming keyframe,
+        # :1387-1484); injectable for the sharded path
+        if match_fn is None and cfg.incremental_map:
+            surf_batches, edge_batches, enough_map = _match_with_maps(mid, cfg)
+        else:
+            mf = match_fn or default_map_and_match
+            surf_batches, edge_batches, enough_map = mf(
+                state, mid.ts, mid.qs, mid.win_surf_b, mid.win_surf_mask,
+                mid.win_surf_refl, mid.win_edge_b, mid.win_edge_mask, cfg)
         # disable lidar factors when the map is too sparse (:936, start-up)
         surf_batches = surf_batches._replace(
             mask=surf_batches.mask & enough_map,
@@ -744,16 +960,21 @@ def fusion_step(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "noise"))
+@partial(jax.jit, static_argnames=("cfg", "noise", "rebuild"))
 def _fusion_pre(state: FusionState, surf_pts, surf_mask, surf_refl,
                 edge_pts, edge_mask, imu_dts, imu_accs, imu_gyrs, imu_valid,
-                cfg: FusionConfig, noise: ImuNoise):
+                cfg: FusionConfig, noise: ImuNoise, rebuild: bool = False):
     """Phases A–E + local-map build + world-frame query flattening."""
     W = cfg.window
     Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
     mid = _ingest(state, surf_pts, surf_mask, surf_refl, edge_pts, edge_mask,
-                  imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise)
-    maps = _build_maps(state, cfg)
+                  imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise,
+                  rebuild=rebuild)
+    if cfg.incremental_map:
+        maps = (mid.map_surf, mid.map_refl, mid.map_surf_mask,
+                mid.map_edge, mid.map_edge_mask, mid.enough_map)
+    else:
+        maps = _build_maps(state, cfg)
     pw_surf = (quat_rotate(mid.qs[:, None, :], mid.win_surf_b)
                + mid.ts[:, None, :]).reshape(W * Sc, 3)
     pw_edge = (quat_rotate(mid.qs[:, None, :], mid.win_edge_b)
@@ -798,6 +1019,7 @@ def fusion_step_split(
     imu_dts, imu_accs, imu_gyrs, imu_valid,
     cfg: FusionConfig = FusionConfig(),
     noise: ImuNoise = ImuNoise(),
+    rebuild: bool = False,
 ):
     """``fusion_step`` with the surf/edge kNN as standalone launches
     (host-chained jitted programs; see the section comment above). Main-path
@@ -805,7 +1027,7 @@ def fusion_step_split(
     (it runs no correspondence search, so there is nothing to split)."""
     mid, maps, pw_surf, pw_edge = _fusion_pre(
         state, surf_pts, surf_mask, surf_refl, edge_pts, edge_mask,
-        imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise)
+        imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise, rebuild=rebuild)
     map_surf, map_refl, map_surf_mask, map_edge, map_edge_mask, enough_map = maps
     d2s, idxs = knn_auto(pw_surf, map_surf, k=cfg.k, p_mask=map_surf_mask)
     d2e, idxe = knn_auto(pw_edge, map_edge, k=cfg.k, p_mask=map_edge_mask)

@@ -188,10 +188,11 @@ def _find_and_solve(t, q, scan_q, scan_q_mask, map_pts, map_mask, cfg: OdometryC
     return _fit_and_gn(t, q, scan_q, scan_q_mask, pw, map_pts[idx], d2, cfg)
 
 
-def _fit_and_gn(t, q, scan_q, scan_q_mask, pw, nbrs, d2, cfg: OdometryConfig):
-    """Plane fits + gates + ``gn_iters`` GN steps given precomputed k-NN
-    candidates — the round tail shared by the single-program step and the
-    split-dispatch step (which runs the kNN as its own launch)."""
+def plane_correspondences(scan_q, scan_q_mask, pw, nbrs, d2,
+                          cfg: OdometryConfig) -> PlaneFactorBatch:
+    """Production plane fits + gates on precomputed k-NN candidates
+    (findCorrespondingSurfFeatures, :352-413) — shared by the single-chip
+    round tail and the query-sharded mesh round (parallel/sharded.py)."""
     nn_ok = d2[:, cfg.k - 1] < cfg.nn_gate  # 5th-NN distance gate (:365)
 
     # plane fit over the k neighbors (all valid: masked kNN padding yields
@@ -217,24 +218,35 @@ def _fit_and_gn(t, q, scan_q, scan_q_mask, pw, nbrs, d2, cfg: OdometryConfig):
     weight = 1.0 - 0.9 * jnp.abs(pd) / pw_norm
     keep = scan_q_mask & nn_ok & plane_ok & (weight > cfg.min_weight)
 
-    batch = PlaneFactorBatch(
+    return PlaneFactorBatch(
         pts=scan_q, normals=normal, offsets=d_off,
         scores=jnp.where(keep, weight, 0.0), mask=keep,
     )
 
+
+def clamp_step(delta, cfg: OdometryConfig):
+    """Trust region: an ill-conditioned system (feature dropout, fast
+    motion) must not produce unbounded steps — Ceres bounds these via its
+    trust-region radius; we clamp per-step norms equivalently."""
+    tn = jnp.linalg.norm(delta[:3])
+    rn = jnp.linalg.norm(delta[3:6])
+    scale = jnp.minimum(1.0, jnp.minimum(
+        cfg.max_step_t / jnp.maximum(tn, 1e-12),
+        cfg.max_step_r / jnp.maximum(rn, 1e-12)))
+    return delta * scale
+
+
+def _fit_and_gn(t, q, scan_q, scan_q_mask, pw, nbrs, d2, cfg: OdometryConfig):
+    """Plane fits + gates + ``gn_iters`` GN steps given precomputed k-NN
+    candidates — the round tail shared by the single-program step and the
+    split-dispatch step (which runs the kNN as its own launch)."""
+    batch = plane_correspondences(scan_q, scan_q_mask, pw, nbrs, d2, cfg)
+    keep = batch.mask
+
     def gn_step(t, q):
         r, J = plane_residual(t, q, batch)
         w = huber_weight(r * r, cfg.huber)
-        delta = gn_update(J, r, damping=1e-8, w=w)
-        # trust region: an ill-conditioned system (feature dropout, fast
-        # motion) must not produce unbounded steps — Ceres bounds these via
-        # its trust-region radius; we clamp per-step norms equivalently
-        tn = jnp.linalg.norm(delta[:3])
-        rn = jnp.linalg.norm(delta[3:6])
-        scale = jnp.minimum(1.0, jnp.minimum(
-            cfg.max_step_t / jnp.maximum(tn, 1e-12),
-            cfg.max_step_r / jnp.maximum(rn, 1e-12)))
-        delta = delta * scale
+        delta = clamp_step(gn_update(J, r, damping=1e-8, w=w), cfg)
         t = t + delta[:3]
         q = quat_normalize(quat_mul(q, exp_so3(delta[3:6])))
         return t, q, jnp.linalg.norm(delta)
@@ -331,7 +343,8 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
     # transformed by the solved pose — exactly the reference's deque of
     # downsampled scans in world (buildLocalMap :280-303 concats the
     # transformed ds scans); no second world-frame downsample ---
-    ws_ds, wm_ds = _frame_from_scan(scan_q, scan_q_mask, t, q, cfg)
+    ws_ds, wm_ds = _frame_from_scan(scan_q, scan_q_mask, surf_pts, surf_mask,
+                                    t, q, cfg)
     ws_ds = ws_ds.astype(dtype)
     map_cells, map_sums, map_cnt, map_valid = _update_map_table(
         state, ws_ds, wm_ds, cfg)
@@ -353,14 +366,18 @@ def odometry_step(state: OdometryState, surf_pts: jnp.ndarray, surf_mask: jnp.nd
     return new_state, out
 
 
-def _frame_from_scan(scan_q, scan_q_mask, t, q, cfg: OdometryConfig):
-    """World-frame ring entry from the sensor-downsampled query set."""
-    ws = quat_rotate(q[None, :], scan_q) + t[None, :]
+def _frame_from_scan(scan_q, scan_q_mask, surf_pts, surf_mask, t, q,
+                     cfg: OdometryConfig):
+    """World-frame ring entry. With frame_cap == query_cap (the shipped
+    configs) the sensor-downsampled query set transforms directly — the
+    reference's deque holds exactly the ds scan it matched with
+    (downSampleCloud output feeds both the solver and buildLocalMap,
+    :315-323, :280-303). A larger frame_cap keeps the separate world-frame
+    downsample so the map density is not capped by the query budget."""
     if cfg.frame_cap == cfg.query_cap:
-        return ws, scan_q_mask
-    from ..ops.voxel import pad_cloud
-
-    return pad_cloud(ws, scan_q_mask, cfg.frame_cap)
+        return quat_rotate(q[None, :], scan_q) + t[None, :], scan_q_mask
+    world = quat_rotate(q[None, :], surf_pts) + t[None, :]
+    return voxel_downsample(world, surf_mask, cfg.ds_leaf, cfg.frame_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -399,6 +416,7 @@ def _odo_round_tail(t, q, scan_q, scan_q_mask, pw, map_pts, d2, idx,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _odo_finalize(state: OdometryState, scan_q, scan_q_mask,
+                  surf_pts, surf_mask,
                   t_guess, q_guess, t, q, n_corr, cfg: OdometryConfig):
     """Divergence gate + keyframe decision + ring-buffer insert (the
     post-matching phase of ``odometry_step``)."""
@@ -424,7 +442,8 @@ def _odo_finalize(state: OdometryState, scan_q, scan_q_mask,
 
     out_rel_t, out_rel_q = pose_relative(state.t, state.q, t, q)
 
-    ws_ds, wm_ds = _frame_from_scan(scan_q, scan_q_mask, t, q, cfg)
+    ws_ds, wm_ds = _frame_from_scan(scan_q, scan_q_mask, surf_pts, surf_mask,
+                                    t, q, cfg)
     ws_ds = ws_ds.astype(dtype)
     map_cells, map_sums, map_cnt, map_valid = _update_map_table(
         state, ws_ds, wm_ds, cfg)
@@ -463,5 +482,5 @@ def odometry_step_split(state: OdometryState, surf_pts, surf_mask,
         d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
         t, q, n_corr = _odo_round_tail(t, q, scan_q, scan_q_mask, pw,
                                        map_pts, d2, idx, cfg)
-    return _odo_finalize(state, scan_q, scan_q_mask, t_guess, q_guess,
-                         t, q, n_corr, cfg)
+    return _odo_finalize(state, scan_q, scan_q_mask, surf_pts, surf_mask,
+                         t_guess, q_guess, t, q, n_corr, cfg)

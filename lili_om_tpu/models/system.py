@@ -143,6 +143,24 @@ class LiliOmSystem:
         embedded-custom-call compile blowup. Numerically identical to the
         single-program path (equivalence-tested); single-chip only.
         Default (None): on for the TPU backend, off elsewhere."""
+        if mesh is not None:
+            # the map-sharded path shards the keyframe ring across the mesh
+            # and builds its match maps from the shards — the single-chip
+            # incremental tables don't apply there. Pad the slot axis and
+            # round the map caps so ANY shipped config (e.g. fr_iosb_rot's
+            # M=50) runs on any mesh size: the pad slots stay permanently
+            # invalid (logical map width unchanged), extra map-cap rows just
+            # raise the overflow threshold.
+            n = mesh.devices.size
+            rnd = lambda x: -(-x // n) * n
+            fusion_cfg = fusion_cfg._replace(
+                incremental_map=False,
+                map_slots_pad=(-fusion_cfg.local_map_width) % n,
+                map_surf_cap=rnd(fusion_cfg.map_surf_cap),
+                map_edge_cap=rnd(fusion_cfg.map_edge_cap),
+            )
+            if odo_cfg.query_cap % n:
+                odo_cfg = odo_cfg._replace(query_cap=rnd(odo_cfg.query_cap))
         self.odo_cfg = odo_cfg
         self.fusion_cfg = fusion_cfg
         self.feat_cfg = feat_cfg
@@ -157,12 +175,18 @@ class LiliOmSystem:
         self.use_split = use_split and mesh is None
         self.mesh = mesh
         self._dist_warm = self._dist_main = None
+        self._sharded_odo = None
         if mesh is not None:
             from ..parallel.map_fusion import make_map_sharded_system_step
+            from ..parallel.sharded import make_sharded_odometry
 
             self._dist_warm, self._dist_main, st_sh = \
                 make_map_sharded_system_step(mesh, fusion_cfg, noise)
             self.fusion_state = jax.device_put(self.fusion_state, st_sh)
+            # query-sharded frontend: the mesh twin of the production
+            # matching round (docs/SCALING.md — backend-only sharding caps
+            # the pipeline speedup at ~1.3×)
+            self._sharded_odo = make_sharded_odometry(mesh, self.odo_cfg)
         self.graph = init_graph(graph_capacity, dtype=dtype)
         # host-side keyframe archive (unbounded, numpy)
         self.kf_stamps: list[float] = []
@@ -212,6 +236,10 @@ class LiliOmSystem:
         self._frame_stamps: list[float] = []
         self._prev_kf = None  # (stamp, t, q, v) of the previous keyframe
         self._kf_count_host = 0  # mirrors fusion_state.kf_count (no sync)
+        # loop-closure pose corrections invalidate the incremental mature-map
+        # tables (fusion.FusionConfig.incremental_map) — the next fusion step
+        # then batch-rebuilds them from the ring
+        self._maps_dirty = False
         # cadenced map assembly (publishCompleteMap thread @0.02 Hz,
         # BackendFusion.cpp:2687-2696): set ``map_callback`` to receive the
         # (N,3) global map every ``map_publish_period`` seconds of scan time
@@ -349,10 +377,14 @@ class LiliOmSystem:
         with self.metrics.stage("odometry"):
             # 8 bootstrap rounds for the first two frames (:500-504)
             rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
-            step = odometry_step_split if self.use_split else odometry_step
-            self.odo_state, out = step(
-                self.odo_state, fc.surf_pts, fc.surf_mask, self.odo_cfg,
-                n_rounds=rounds)
+            if self._sharded_odo is not None:
+                self.odo_state, out = self._sharded_odo(
+                    self.odo_state, fc.surf_pts, fc.surf_mask, n_rounds=rounds)
+            else:
+                step = odometry_step_split if self.use_split else odometry_step
+                self.odo_state, out = step(
+                    self.odo_state, fc.surf_pts, fc.surf_mask, self.odo_cfg,
+                    n_rounds=rounds)
         self.n_frames += 1
         # ONE host transfer for everything this frame's control flow needs
         summary = np.asarray(jnp.concatenate([
@@ -444,9 +476,13 @@ class LiliOmSystem:
                 feats=lf.surf_curv[:, None])
         with self.metrics.stage("odometry"):
             rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
-            step = odometry_step_split if self.use_split else odometry_step
-            self.odo_state, out = step(self.odo_state, surf, surf_mask,
-                                       self.odo_cfg, n_rounds=rounds)
+            if self._sharded_odo is not None:
+                self.odo_state, out = self._sharded_odo(
+                    self.odo_state, surf, surf_mask, n_rounds=rounds)
+            else:
+                step = odometry_step_split if self.use_split else odometry_step
+                self.odo_state, out = step(self.odo_state, surf, surf_mask,
+                                           self.odo_cfg, n_rounds=rounds)
         self.n_frames += 1
         # ONE host transfer for everything this frame's control flow needs
         # (the spin path's single-transfer trick — each extra sync is a ~30 ms
@@ -541,6 +577,8 @@ class LiliOmSystem:
 
         warm = self._kf_count_host + 1 < cfg.window
         self._kf_count_host += 1
+        rebuild = self._maps_dirty
+        self._maps_dirty = False
         if self._dist_main is not None:
             fn = self._dist_warm if warm else self._dist_main
             self.fusion_state, fout = fn(self.fusion_state, sp, sm, s_refl,
@@ -548,11 +586,12 @@ class LiliOmSystem:
         elif self.use_split and not warm:
             self.fusion_state, fout = fusion_step_split(
                 self.fusion_state, sp, sm, s_refl, ep, em,
-                dts, accs, gyrs, vmask, cfg, self.noise)
+                dts, accs, gyrs, vmask, cfg, self.noise, rebuild=rebuild)
         else:
             self.fusion_state, fout = fusion_step(
                 self.fusion_state, sp, sm, s_refl, ep, em,
-                dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm)
+                dts, accs, gyrs, vmask, cfg, self.noise, warmup=warm,
+                rebuild=rebuild)
 
         self.last_fusion_out = fout  # device refs; diagnostics materialize on use
         self.graph = ensure_capacity(self.graph, len(self.kf_stamps) + 1)
@@ -813,18 +852,7 @@ class LiliOmSystem:
         # ---- phase 3 (locked): record the factor, snapshot the graph ----
         with held():
             n0 = len(self.kf_stamps)
-            slot = self._find_mergeable_loop(mature, his)
-            if slot is None:
-                self.graph = ensure_capacity(self.graph, n0,
-                                             int(self.graph.n_loops) + 1)
-                slot = len(self._loop_pairs)
-                self.graph = add_loop(self.graph, mature, his, rel_t, rel_q,
-                                      res.fitness)
-                self._loop_pairs.append((mature, his))
-            else:
-                self.graph = set_loop(self.graph, slot, mature, his,
-                                      rel_t, rel_q, res.fitness)
-                self._loop_pairs[slot] = (mature, his)
+            self._record_loop(mature, his, rel_t, rel_q, res.fitness)
             snapshot = self.graph
 
         # ---- phase 4 (unlocked): linear-time chain+Woodbury solve — the
@@ -842,6 +870,22 @@ class LiliOmSystem:
             self._correct_poses()
             self.last_loop_stamp = float(stamps[mature])  # ROT :2403
         return True
+
+    def _record_loop(self, i: int, j: int, rel_t, rel_q, fitness):
+        """Add or same-pair-replace a loop factor (see
+        LoopClosureConfig.merge_width) — the factor count stays
+        O(distinct revisited places), which bounds the chain+Woodbury
+        solve's 6L-dim Woodbury system on multi-lap runs."""
+        slot = self._find_mergeable_loop(i, j)
+        if slot is None:
+            self.graph = ensure_capacity(self.graph, len(self.kf_stamps),
+                                         int(self.graph.n_loops) + 1)
+            self._loop_pairs.append((i, j))
+            self.graph = add_loop(self.graph, i, j, rel_t, rel_q, fitness)
+        else:
+            self.graph = set_loop(self.graph, slot, i, j, rel_t, rel_q,
+                                  fitness)
+            self._loop_pairs[slot] = (i, j)
 
     def _find_mergeable_loop(self, i: int, j: int):
         """Slot of an existing loop factor whose endpoints both lie within
@@ -1005,6 +1049,8 @@ class LiliOmSystem:
             prior=fs.prior._replace(valid=jnp.zeros((), bool)),  # drop prior (:2635-2638)
             sb_anchor_on=jnp.ones((), bool),  # marg=false (:2309)
         )
+        # mature keyframe poses moved — the incremental map tables are stale
+        self._maps_dirty = True
         if self._prev_kf is not None:
             i = len(self.kf_stamps) - 1
             self._prev_kf = (self._prev_kf[0], g_t[i], g_q[i], self._prev_kf[3])

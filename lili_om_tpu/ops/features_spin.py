@@ -226,6 +226,19 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
                           cfg: SpinFeatureConfig = SpinFeatureConfig()) -> FeatureClouds:
     """Full ROT feature extraction over an organized, already-undistorted
     (R,C,3) scan image. See module docstring for the reference mapping."""
+    full_shape = img.shape
+    full_mask_src = valid & (jnp.sum(img * img, axis=-1) >= cfg.min_range**2)
+    full_pts_src = img
+    full_rel_src = rel_time
+    if cfg.ds_rate > 1:
+        # the reference STRIDES the feature loop by ds_rate — skipped rings
+        # are never scanned (ROT Preprocessing.cpp:402). Slicing the image
+        # up front (instead of masking afterwards) cuts the curvature
+        # stencil, NMS, top-k, and downsample work by the same factor; the
+        # full cloud keeps every ring (only the feature path decimates).
+        img = img[:: cfg.ds_rate]
+        valid = valid[:: cfg.ds_rate]
+        rel_time = rel_time[:: cfg.ds_rate]
     R, C, _ = img.shape
     S = cfg.n_sectors
     Csec = C // S
@@ -233,8 +246,7 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
 
     rng2 = jnp.sum(img * img, axis=-1)
     far_enough = rng2 >= cfg.min_range**2
-    ring_keep = (jnp.arange(R) % cfg.ds_rate == 0)[:, None]
-    base_ok = valid & far_enough & ring_keep
+    base_ok = valid & far_enough
 
     curv, win_ok = curvature_image(img, valid, cfg.edge_window)
     ok = base_ok & win_ok
@@ -292,6 +304,7 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
         edge_pts=edge_pts.astype(dtype), edge_mask=edge_mask, sharp_mask=sharp_mask,
         flat_pts=flat_pts.astype(dtype), flat_mask=flat_mask,
         surf_pts=surf_pts.astype(dtype), surf_mask=surf_mask,
-        full_pts=img.reshape(-1, 3), full_mask=(valid & far_enough).reshape(-1),
-        full_rel_time=rel_time.reshape(-1),
+        full_pts=full_pts_src.reshape(-1, 3),
+        full_mask=full_mask_src.reshape(-1),
+        full_rel_time=full_rel_src.reshape(-1),
     )

@@ -254,7 +254,7 @@ def voxel_downsample_ordered(
 
 @partial(jax.jit, static_argnames=("num_out",))
 def merge_voxel_entries(cells, sums, cnt, valid, num_out: int,
-                        second_sel=None):
+                        second_sel=None, primary_sel=None):
     """Merge weighted voxel entries by ABSOLUTE cell coordinates — the
     primitive behind the incremental (persistent-table) local maps.
 
@@ -267,10 +267,14 @@ def merge_voxel_entries(cells, sums, cnt, valid, num_out: int,
     :func:`voxel_downsample`) and entries whose merged count cancels to ~0
     come out invalid.
 
-    ``second_sel``: optional (N,) bool — also return the segment sums
-    restricted to the selected entries AT THE SAME segment positions (the
-    fusion backend uses this to update its mature-keyframe table and build
-    the full match map from ONE sort).
+    ``primary_sel`` / ``second_sel``: optional (N,) bool row selections —
+    the primary result reduces over ``primary_sel`` (default: all valid)
+    and, when ``second_sel`` is given, a second reduction over its rows is
+    returned AT THE SAME segment positions. The fusion backend builds its
+    match map (mature table + live window keyframes) and the updated
+    mature table (table + newly-matured − evicted) from ONE sort this way.
+    Segment enumeration (and thus the hash drop order) covers ALL valid
+    entries regardless of selection.
 
     Returns (cells (num_out,3), sums (num_out,C), cnt (num_out,), valid)
     [+ the same 4-tuple for ``second_sel`` entries].
@@ -309,7 +313,8 @@ def merge_voxel_entries(cells, sums, cnt, valid, num_out: int,
         v = c > 0.5  # integer counts in f32; fp residue of add/sub ≈ 1e-5
         return s[:, :-1], c, v
 
-    out_sums, out_cnt, out_valid = reduce(w)
+    wp = w if primary_sel is None else w * primary_sel[order].astype(sums.dtype)
+    out_sums, out_cnt, out_valid = reduce(wp)
     out_cells = jax.ops.segment_min(cells_s, seg_id_c,
                                     num_segments=num_out + 1,
                                     indices_are_sorted=True)[:num_out]

@@ -38,7 +38,10 @@ def _state_shardings(mesh: Mesh, axis: str):
         hist_surf=pts, hist_surf_mask=pts, hist_surf_refl=pts,
         hist_edge=pts, hist_edge_mask=pts,
         hist_t=repl, hist_q=repl, hist_valid=repl,
-        write_idx=repl, kf_count=repl, acc0=repl, gyr0=repl,
+        write_idx=repl, kf_count=repl,
+        msurf_cells=repl, msurf_sums=repl, msurf_cnt=repl, msurf_valid=repl,
+        medge_cells=repl, medge_sums=repl, medge_cnt=repl, medge_valid=repl,
+        acc0=repl, gyr0=repl,
     )
 
 

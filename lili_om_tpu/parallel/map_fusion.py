@@ -69,10 +69,15 @@ class MapShardedMatch:
                  win_edge_b, win_edge_mask, cfg: FusionConfig):
         mesh, axis = self.mesh, self.axis
         n = mesh.devices.size
-        W, M = cfg.window, cfg.local_map_width
+        W = cfg.window
+        Mp = cfg.local_map_width + cfg.map_slots_pad  # physical ring slots
         Sc, Ec = cfg.kf_surf_cap, cfg.kf_edge_cap
-        assert M % n == 0, "local_map_width must divide the mesh"
-        assert cfg.map_surf_cap % n == 0 and cfg.map_edge_cap % n == 0
+        assert Mp % n == 0, (
+            f"physical ring slots {Mp} must divide the {n}-device mesh — "
+            "LiliOmSystem(mesh=…) pads via FusionConfig.map_slots_pad")
+        assert cfg.map_surf_cap % n == 0 and cfg.map_edge_cap % n == 0, (
+            "map caps must divide the mesh (LiliOmSystem(mesh=…) rounds "
+            "them up)")
         scap, ecap = cfg.map_surf_cap // n, cfg.map_edge_cap // n
         k = cfg.k
 
@@ -159,6 +164,9 @@ def make_map_sharded_fusion(mesh: Mesh, cfg: FusionConfig, noise: ImuNoise,
                             warmup: bool = False, axis: str | None = None):
     """jit the full fusion_step with the map-sharded match phase and
     keyframe-slot state shardings. Returns (step_fn, state_shardings)."""
+    # the injected match phase builds its maps from the sharded ring — the
+    # single-chip incremental tables would be dead weight inside the program
+    cfg = cfg._replace(incremental_map=False)
     axis = axis or mesh.axis_names[0]
     st_sh = map_sharded_state_shardings(mesh, axis)
     repl = NamedSharding(mesh, P())

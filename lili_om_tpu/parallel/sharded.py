@@ -123,6 +123,93 @@ def sharded_scan_match_step(
     return jax.jit(step)(t, q, scan_pts, scan_mask, map_pts, map_mask)
 
 
+def make_sharded_odometry(mesh: Mesh, cfg, axis: str | None = None):
+    """PRODUCTION query-sharded frontend odometry over the mesh — the mesh
+    twin of ``models/odometry.py:odometry_step_split``, wired by
+    ``LiliOmSystem(mesh=…)``:
+
+    * prepare/finalize phases run replicated (table slice + 8k scan
+      downsample + keyframe logic — tiny);
+    * each matching round shards the QUERY axis: every device kNN-searches
+      its scan shard against the replicated local map (the O(Q·P) distance
+      work scales 1/n), fits/gates its correspondences with the exact
+      production code (``plane_correspondences`` — same centered fit, same
+      reference gates, same trust-region clamps and step-norm early exit),
+      and the 6-dof normal equations psum over ICI (one 6×6 + 6-vector per
+      GN iteration, independent of the point count).
+
+    Returns ``step(state, surf_pts, surf_mask, n_rounds)`` with
+    ``odometry_step``'s result contract (matches single-chip to collective
+    reduction-order noise).
+    """
+    from ..models.odometry import (_odo_finalize, _odo_prepare,
+                                   clamp_step, plane_correspondences)
+
+    axis = axis or mesh.axis_names[0]
+    n = mesh.devices.size
+    assert cfg.query_cap % n == 0, "query_cap must divide the mesh"
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)  # replicated outputs via psum
+    def matching_round(t, q, scan_q, scan_mask, map_pts, map_mask):
+        pw = quat_rotate(q[None, :], scan_q) + t[None, :]
+        d2, idx = knn(pw, map_pts, k=cfg.k, p_mask=map_mask)
+        batch = plane_correspondences(scan_q, scan_mask, pw, map_pts[idx],
+                                      d2, cfg)
+
+        def gn_step(t, q):
+            r, J = plane_residual(t, q, batch)
+            w = huber_weight(r * r, cfg.huber)
+            Jw = J * w[:, None]
+            H = jax.lax.psum(Jw.T @ Jw, axis)
+            g = jax.lax.psum(Jw.T @ (r * w), axis)
+            delta = clamp_step(solve_normal(H, -g, 1e-8), cfg)
+            t = t + delta[:3]
+            q = quat_normalize(quat_mul(q, exp_so3(delta[3:6])))
+            return t, q, jnp.linalg.norm(delta)
+
+        if cfg.gn_tol > 0.0:
+            def cond(c):
+                return (c[0] < cfg.gn_iters) & (c[1] > cfg.gn_tol)
+
+            def body(c):
+                t, q, step = gn_step(c[2], c[3])
+                return (c[0] + 1, step, t, q)
+
+            c = jax.lax.while_loop(
+                cond, body,
+                (jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, t.dtype), t, q))
+            t, q = c[2], c[3]
+        else:
+            def fbody(_, carry):
+                t, q, _s = gn_step(*carry[:2])
+                return (t, q)
+
+            t, q = jax.lax.fori_loop(0, cfg.gn_iters, fbody, (t, q))
+        n_corr = jax.lax.psum(jnp.sum(batch.mask.astype(jnp.int32)), axis)
+        return t, q, n_corr.astype(jnp.int32)
+
+    round_jit = jax.jit(matching_round)
+
+    def step(state, surf_pts, surf_mask, n_rounds: int | None = None):
+        if n_rounds is None:
+            n_rounds = cfg.scan_match_cnt
+        t, q, scan_q, scan_q_mask, map_pts, map_mask = _odo_prepare(
+            state, surf_pts, surf_mask, cfg)
+        t_guess, q_guess = t, q
+        n_corr = jnp.zeros((), jnp.int32)
+        for _ in range(n_rounds):
+            t, q, n_corr = round_jit(t, q, scan_q, scan_q_mask,
+                                     map_pts, map_mask)
+        return _odo_finalize(state, scan_q, scan_q_mask, surf_pts, surf_mask,
+                             t_guess, q_guess, t, q, n_corr, cfg)
+
+    return step
+
+
 def sharded_knn(mesh: Mesh, queries: jnp.ndarray, map_pts: jnp.ndarray,
                 map_mask: jnp.ndarray, k: int = 5):
     """Map-sharded exact kNN: each device searches its map shard, the

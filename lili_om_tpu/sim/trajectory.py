@@ -60,6 +60,39 @@ def straight_trajectory(speed: float = 2.0, wiggle_amp: float = 0.5, wiggle_peri
     return traj
 
 
+def aggressive_trajectory(speed: float = 1.5, yaw_amp: float = 1.0,
+                          burst_amp: float = 0.8, burst_freq: float = 2.2,
+                          ramp: float = 4.0) -> Trajectory:
+    """Fast-rotation, speed-varying handheld-style trajectory — the golden
+    stand-in for aggressive real sequences (the regime where the frontend's
+    gyro-only undistortion degrades and the IMU-fused backend must stay
+    bounded; see tests/test_golden_motion.py). Peak yaw rate ≈
+    ``yaw_amp·0.8 + burst_amp·burst_freq`` ≈ 2.6 rad/s at the defaults
+    (≥ 1.5 rad/s bursts), with ±50 % speed modulation and gentle
+    roll/pitch rocking. Smooth everywhere (exact IMU via autodiff); starts
+    at rest via the same ramp as :func:`circle_trajectory`."""
+
+    def s(t):  # smooth start ramp: s(0)=0, s'(0)=0, s'(∞)=1
+        return t - ramp * (1.0 - jnp.exp(-t / ramp))
+
+    def traj(t):
+        u = s(t)
+        p = jnp.stack([
+            speed * u + 1.0 * jnp.sin(0.6 * u),
+            2.0 * jnp.sin(0.35 * u),
+            0.3 * jnp.sin(0.9 * u),
+        ])
+        yaw = yaw_amp * jnp.sin(0.8 * u) + burst_amp * jnp.sin(burst_freq * u)
+        roll = 0.08 * jnp.sin(1.3 * u)
+        pitch = 0.08 * jnp.sin(1.1 * u + 0.7)
+        q = quat_mul(exp_so3(jnp.stack([jnp.zeros_like(yaw),
+                                        jnp.zeros_like(yaw), yaw])),
+                     exp_so3(jnp.stack([roll, pitch, jnp.zeros_like(yaw)])))
+        return p, quat_normalize(q)
+
+    return traj
+
+
 def static_trajectory(p0=(0.0, 0.0, 0.0)) -> Trajectory:
     def traj(t):
         return jnp.asarray(p0) * jnp.ones_like(t)[..., None] if jnp.ndim(t) else jnp.asarray(p0), \

@@ -90,7 +90,10 @@ class TestMapShardedFusion:
         st = _filled_state(cfg, noise, dtype)
         args = _scan_inputs(cfg, dtype)
 
-        st1, out1 = fusion_step(st, *args, cfg=cfg, noise=noise)
+        # rebuild=True: the directly-filled ring has no incremental-table
+        # history, so the single-chip reference batch-builds its maps from
+        # the ring — the same source the sharded match phase uses
+        st1, out1 = fusion_step(st, *args, cfg=cfg, noise=noise, rebuild=True)
 
         fn, st_sh = make_map_sharded_fusion(mesh, cfg, noise)
         st_d = jax.device_put(st, st_sh)
