@@ -129,9 +129,10 @@ def main():
            lambda: O._odo_round_tail(t_g, q_g, scan_q, scan_m, pw, map_pts,
                                      d2, idx, ocfg),
            sync=lambda o: np.asarray(o[0]))
-    timeit("odo finalize",
-           lambda: O._odo_finalize(ostate, fc.surf_pts, fc.surf_mask, t_g,
-                                   q_g, t_g, q_g, jnp.zeros((), jnp.int32), ocfg),
+    timeit("odo finalize (+table merge)",
+           lambda: O._odo_finalize(ostate, scan_q, scan_m, fc.surf_pts,
+                                   fc.surf_mask, t_g, q_g, t_g, q_g,
+                                   jnp.zeros((), jnp.int32), ocfg),
            sync=lambda o: np.asarray(o[1].t))
 
     refl = jnp.zeros_like(fc.surf_pts[:, 0])

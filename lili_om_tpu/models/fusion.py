@@ -355,6 +355,11 @@ def _incremental_maps(state: FusionState, cfg: FusionConfig, rebuild: bool):
                 + state.hist_t[slots][:, None, :])
 
     def build(clouds, masks, refl, table, leaf, Tcap, map_cap):
+        # SENSOR-frame ring clouds → body before the pose (the reference's
+        # pose ∘ (q_bl, t_bl) map transform — see the _build_maps note)
+        clouds = jax.vmap(lambda p: body_points(
+            p, jnp.asarray(cfg.t_lb, dtype), jnp.asarray(cfg.q_lb, dtype)))(
+                clouds)
         Mp = clouds.shape[0]  # physical slots (M + map_slots_pad)
         if rebuild:
             pts = (quat_rotate(state.hist_q[:, None, :], clouds)
@@ -438,7 +443,18 @@ def _build_maps(state: FusionState, cfg: FusionConfig):
     """Local feature maps from the keyframe ring buffer
     (buildLocalMapWithLandMark :1387-1484, downSampleCloud :1486-1528)."""
     M = state.hist_surf.shape[0]  # physical slots (M + map_slots_pad)
-    hist_world = quat_rotate(state.hist_q[:, None, :], state.hist_surf) + state.hist_t[:, None, :]
+    dtype = state.t.dtype
+    # ring clouds are SENSOR-frame; the reference's map transform composes
+    # pose ∘ (q_bl, t_bl) — the lidar→body conversion — for BOTH feature
+    # kinds (transformCloud(·, q_po·q_bl, q_po·t_bl + t_po),
+    # BackendFusion.cpp:1423-1426 / ROT :1308-1309). Dropping it leaves the
+    # map off from the (extrinsic-converted) surf queries by the extrinsic
+    # — catastrophic for non-commuting mounts (measured: 97 m backend ATE
+    # at the ROT 90°-about-x extrinsic under fast yaw).
+    hist_b = jax.vmap(lambda p: body_points(
+        p, jnp.asarray(cfg.t_lb, dtype), jnp.asarray(cfg.q_lb, dtype)))(
+            state.hist_surf)
+    hist_world = quat_rotate(state.hist_q[:, None, :], hist_b) + state.hist_t[:, None, :]
     hmask = state.hist_surf_mask & state.hist_valid[:, None]
     map_surf, map_refl, map_surf_mask = voxel_downsample(
         hist_world.reshape(M * cfg.kf_surf_cap, 3),
@@ -446,7 +462,10 @@ def _build_maps(state: FusionState, cfg: FusionConfig):
         feats=state.hist_surf_refl.reshape(-1, 1),
     )
     map_refl = map_refl[:, 0]
-    hist_edge_world = quat_rotate(state.hist_q[:, None, :], state.hist_edge) + state.hist_t[:, None, :]
+    hist_edge_b = jax.vmap(lambda p: body_points(
+        p, jnp.asarray(cfg.t_lb, dtype), jnp.asarray(cfg.q_lb, dtype)))(
+            state.hist_edge)
+    hist_edge_world = quat_rotate(state.hist_q[:, None, :], hist_edge_b) + state.hist_t[:, None, :]
     emask = state.hist_edge_mask & state.hist_valid[:, None]
     map_edge, map_edge_mask = voxel_downsample(
         hist_edge_world.reshape(M * cfg.kf_edge_cap, 3),

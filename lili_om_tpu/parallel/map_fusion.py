@@ -91,14 +91,23 @@ class MapShardedMatch:
                  check_vma=False)  # outputs replicated by all_gather+merge
         def gather_candidates(h_surf, h_smask, h_refl, h_edge, h_emask,
                               h_t, h_q, h_valid, pw_s, pw_e):
-            # per-device local map from this shard's keyframe slots
+            # per-device local map from this shard's keyframe slots — with
+            # the reference's lidar→body conversion before the pose
+            # (pose ∘ (q_bl, t_bl); see models/fusion.py:_build_maps note)
+            from ..factors.lidar import body_points
+
             m = h_surf.shape[0]
-            world = quat_rotate(h_q[:, None, :], h_surf) + h_t[:, None, :]
+            dtype = h_surf.dtype
+            t_lb = jnp.asarray(cfg.t_lb, dtype)
+            q_lb = jnp.asarray(cfg.q_lb, dtype)
+            h_surf_b = jax.vmap(lambda p: body_points(p, t_lb, q_lb))(h_surf)
+            world = quat_rotate(h_q[:, None, :], h_surf_b) + h_t[:, None, :]
             hmask = h_smask & h_valid[:, None]
             map_s, map_refl, map_smask = voxel_downsample(
                 world.reshape(m * Sc, 3), hmask.reshape(-1),
                 cfg.surf_leaf, scap, feats=h_refl.reshape(-1, 1))
-            eworld = quat_rotate(h_q[:, None, :], h_edge) + h_t[:, None, :]
+            h_edge_b = jax.vmap(lambda p: body_points(p, t_lb, q_lb))(h_edge)
+            eworld = quat_rotate(h_q[:, None, :], h_edge_b) + h_t[:, None, :]
             emask = h_emask & h_valid[:, None]
             map_e, map_emask = voxel_downsample(
                 eworld.reshape(m * Ec, 3), emask.reshape(-1),
