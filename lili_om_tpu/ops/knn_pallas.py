@@ -7,6 +7,14 @@ HBM and re-reads it for every min-extraction pass (~1.3 GB of traffic for
 VMEM once per query block: HBM traffic drops to a few MB and the k·O(QB·TB)
 min-extraction runs entirely on-chip (measured ~2-3× the XLA path).
 
+Structure: a 2-D grid (query blocks × map tiles) with the running top-k in
+VMEM scratch that persists across the map-tile dimension — the canonical
+Mosaic accumulation pattern. Every block slice is STATIC (computed from
+program ids by the BlockSpec index maps), which lets Mosaic double-buffer
+the map tiles and software-pipeline the per-tile work (the earlier
+formulation — one grid step per query block, `fori_loop` + `pl.ds` dynamic
+slices over a whole-map VMEM block — serialized those loads).
+
 Layout notes (Mosaic tiling): a (P, 3) VMEM block is physically padded to
 (P, 128) lanes — 42× memory waste that OOMs scoped VMEM. Points and masks
 are therefore stored transposed, (3, P) / (1, P), which pads only the
@@ -53,60 +61,68 @@ def _extract_k_packed(packed, k):
     return jnp.stack(best, axis=1)  # (QB,k)
 
 
-def _knn_kernel(q_ref, ptsT_ref, maskinf_ref, out_d_ref, out_i_ref, *, k, tile_p):
-    """One query block vs the whole map (streamed in TB tiles).
+def _knn_kernel(q_ref, ptsT_ref, maskinf_ref, out_d_ref, out_i_ref,
+                acc_db_ref, acc_i_ref, *, k, tile_p):
+    """Grid step (i, j): query block i vs map tile j.
 
-    q_ref: (QB, 3); ptsT_ref: (3, P); maskinf_ref: (1, P) additive +inf mask.
+    q_ref: (QB, 3); ptsT_ref: (3, TB); maskinf_ref: (1, TB) additive +inf
+    mask. acc_*_ref: (QB, k) VMEM scratch carrying the running top-k across
+    the j (map tile) grid dimension.
     """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_db_ref[:] = jnp.full(acc_db_ref.shape, _INT_INF, jnp.int32)
+        acc_i_ref[:] = jnp.zeros(acc_i_ref.shape, jnp.int32)
+
     q = q_ref[:]  # (QB, 3)
-    QB = q.shape[0]
-    P = ptsT_ref.shape[1]
-    n_tiles = P // tile_p
+    ptsT = ptsT_ref[:]  # (3, TB)
+    minf = maskinf_ref[0, :]  # (TB,)
     q_norm = jnp.sum(q * q, axis=1, keepdims=True)  # (QB,1)
     clear = ~_IDX_MASK  # python int: -4096, folds into the bitwise ops
 
-    def body(t, carry):
-        best_db, best_i = carry  # (QB,k) int32 distance bits (index field 0), global idx
-        ptsT = ptsT_ref[:, pl.ds(t * tile_p, tile_p)]  # (3, TB)
-        minf = maskinf_ref[0, pl.ds(t * tile_p, tile_p)]  # (TB,)
-        # precision=HIGHEST: the TPU-default reduced-precision matmul
-        # (~2⁻¹² rel) is amplified to meters² by the ‖q‖²+‖p‖²−2q·p
-        # cancellation (see ops/knn.py) — full f32 passes cost ~µs here
-        cross = jax.lax.dot_general(
-            q, ptsT, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # (QB, TB)
-        p_norm = jnp.sum(ptsT * ptsT, axis=0)  # (TB,)
-        d = q_norm + (p_norm + minf)[None, :] - 2.0 * cross
-        db = jax.lax.bitcast_convert_type(d, jnp.int32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        tp = _extract_k_packed((db & clear) | lane, k)  # (QB,k)
-        td = tp & clear
-        ti = (tp & _IDX_MASK) + (t * tile_p).astype(jnp.int32)
-        # merge with the carry: re-tag the 2k candidates by position
-        cat_d = jnp.concatenate([best_db, td], axis=1)  # (QB,2k)
-        cat_i = jnp.concatenate([best_i, ti], axis=1)
-        pos = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
-        mp = _extract_k_packed(cat_d | pos, k)  # (QB,k)
-        new_db = mp & clear
-        # decode each winner's position tag back to its global index
-        # (k small 2-D passes — Mosaic-friendly, no 3-D intermediates)
-        cols = []
-        for j in range(k):
-            sel = (mp[:, j:j + 1] & _IDX_MASK) == pos  # (QB,2k)
-            cols.append(jnp.sum(jnp.where(sel, cat_i, 0), axis=1,
-                                dtype=jnp.int32))
-        new_i = jnp.stack(cols, axis=1)
-        return new_db, new_i
+    # precision=HIGHEST: the TPU-default reduced-precision matmul
+    # (~2⁻¹² rel) is amplified to meters² by the ‖q‖²+‖p‖²−2q·p
+    # cancellation (see ops/knn.py) — full f32 passes cost ~µs here
+    cross = jax.lax.dot_general(
+        q, ptsT, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (QB, TB)
+    p_norm = jnp.sum(ptsT * ptsT, axis=0)  # (TB,)
+    d = q_norm + (p_norm + minf)[None, :] - 2.0 * cross
+    db = jax.lax.bitcast_convert_type(d, jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    tp = _extract_k_packed((db & clear) | lane, k)  # (QB,k)
+    td = tp & clear
+    ti = (tp & _IDX_MASK) + j * tile_p
 
-    init = (jnp.full((QB, k), _INT_INF, jnp.int32),
-            jnp.zeros((QB, k), jnp.int32))
-    best_db, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
-    best_d = jax.lax.bitcast_convert_type(best_db, jnp.float32)
-    out_d_ref[:, :k] = best_d
-    out_d_ref[:, k:] = jnp.zeros((QB, _LANE - k), jnp.float32)
-    out_i_ref[:, :k] = best_i
-    out_i_ref[:, k:] = jnp.zeros((QB, _LANE - k), jnp.int32)
+    # merge with the carry: re-tag the 2k candidates by position
+    best_db = acc_db_ref[:]
+    best_i = acc_i_ref[:]
+    cat_d = jnp.concatenate([best_db, td], axis=1)  # (QB,2k)
+    cat_i = jnp.concatenate([best_i, ti], axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
+    mp = _extract_k_packed(cat_d | pos, k)  # (QB,k)
+    # decode each winner's position tag back to its global index
+    # (k small 2-D passes — Mosaic-friendly, no 3-D intermediates)
+    cols = []
+    for jj in range(k):
+        sel = (mp[:, jj:jj + 1] & _IDX_MASK) == pos  # (QB,2k)
+        cols.append(jnp.sum(jnp.where(sel, cat_i, 0), axis=1,
+                            dtype=jnp.int32))
+    acc_db_ref[:] = mp & clear
+    acc_i_ref[:] = jnp.stack(cols, axis=1)
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        QB = q_ref.shape[0]
+        out_d_ref[:, :k] = jax.lax.bitcast_convert_type(
+            acc_db_ref[:], jnp.float32)
+        out_d_ref[:, k:] = jnp.zeros((QB, _LANE - k), jnp.float32)
+        out_i_ref[:, :k] = acc_i_ref[:]
+        out_i_ref[:, k:] = jnp.zeros((QB, _LANE - k), jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("k", "q_block", "tile_p", "interpret"))
@@ -142,23 +158,34 @@ def knn_pallas(queries, points, k: int = 5, p_mask=None,
     maskinf = jnp.full((1, Pp), jnp.inf, jnp.float32).at[0, :P].set(
         jnp.where(p_mask, 0.0, jnp.inf))
 
-    grid = (Qp // q_block,)
+    grid = (Qp // q_block, Pp // tile_p)
     out_d, out_i = pl.pallas_call(
         partial(_knn_kernel, k=k, tile_p=tile_p),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_p), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((q_block, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_block, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, _LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, _LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Qp, _LANE), jnp.float32),
             jax.ShapeDtypeStruct((Qp, _LANE), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, k), jnp.int32),
+            pltpu.VMEM((q_block, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(qpad, ptsT, maskinf)
 
