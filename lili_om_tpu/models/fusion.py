@@ -45,7 +45,7 @@ from ..factors.lidar import (
 )
 from ..factors.prior import MarginalPrior, marginal_prior_residual, speed_bias_prior
 from ..ops.fitting import eig3_symmetric, fit_line, fit_plane
-from ..ops.knn import knn_auto
+from ..ops.knn import knn_auto, knn_pair_auto
 from ..ops.marginalization import schur_marginalize
 from ..ops.preintegration import (
     ImuNoise,
@@ -1048,7 +1048,8 @@ def fusion_step_split(
         state, surf_pts, surf_mask, surf_refl, edge_pts, edge_mask,
         imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise, rebuild=rebuild)
     map_surf, map_refl, map_surf_mask, map_edge, map_edge_mask, enough_map = maps
-    d2s, idxs = knn_auto(pw_surf, map_surf, k=cfg.k, p_mask=map_surf_mask)
-    d2e, idxe = knn_auto(pw_edge, map_edge, k=cfg.k, p_mask=map_edge_mask)
+    d2s, idxs, d2e, idxe = knn_pair_auto(pw_surf, map_surf, map_surf_mask,
+                                         pw_edge, map_edge, map_edge_mask,
+                                         k=cfg.k)
     return _fusion_post(state, mid, map_surf, map_refl, map_edge, enough_map,
                         pw_surf, d2s, idxs, d2e, idxe, cfg, noise)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..factors.lidar import PlaneFactorBatch, huber_weight, plane_residual
 from ..ops.fitting import eig3_symmetric, fit_plane
-from ..ops.knn import knn_auto
+from ..ops.knn import knn_auto, world_knn_auto
 from ..ops.voxel import merge_voxel_entries, voxel_downsample
 from ..solver.gn import gn_update
 from ..utils.math import (
@@ -478,8 +478,8 @@ def odometry_step_split(state: OdometryState, surf_pts, surf_mask,
     t_guess, q_guess = t, q
     n_corr = jnp.zeros((), jnp.int32)
     for _ in range(n_rounds):
-        pw = _odo_world(t, q, scan_q)
-        d2, idx = knn_auto(pw, map_pts, k=cfg.k, p_mask=map_mask)
+        pw, d2, idx = world_knn_auto(t, q, scan_q, map_pts, k=cfg.k,
+                                     p_mask=map_mask)
         t, q, n_corr = _odo_round_tail(t, q, scan_q, scan_q_mask, pw,
                                        map_pts, d2, idx, cfg)
     return _odo_finalize(state, scan_q, scan_q_mask, surf_pts, surf_mask,

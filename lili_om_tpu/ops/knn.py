@@ -162,3 +162,54 @@ def knn_auto(queries, points, k: int = 5, p_mask=None):
 
             return knn_pallas(queries, points, k=k, p_mask=p_mask)
     return knn(queries, points, k=k, p_mask=p_mask)
+
+
+# --- fused-launch variants for the split-dispatch paths ------------------
+# Each host-chained dispatch costs enqueue latency through the remote
+# runtime (~0.3-0.5 ms effective). These helpers fold trivially small
+# neighbors of the kNN into ITS launch — still small programs (the
+# compile-time hazard is embedding tpu_custom_call in the LARGE pipeline
+# programs, not in dedicated ones).
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _world_knn_pallas(t, q, scan_q, points, p_mask, k: int):
+    from ..utils.math import quat_rotate
+    from .knn_pallas import knn_pallas
+
+    pw = quat_rotate(q[None, :], scan_q) + t[None, :]
+    d2, idx = knn_pallas(pw, points, k=k, p_mask=p_mask)
+    return pw, d2, idx
+
+
+def world_knn_auto(t, q, scan_q, points, k: int = 5, p_mask=None):
+    """``pw = R(q)·scan_q + t`` fused into the kNN launch (one dispatch
+    instead of world-transform + kNN). Returns (pw, d², idx) with the
+    ``knn_auto`` backend policy."""
+    if _PALLAS_KNN != "0" and scan_q.dtype == jnp.float32 \
+            and not isinstance(scan_q, jax.core.Tracer) \
+            and jax.default_backend() == "tpu":
+        return _world_knn_pallas(t, q, scan_q, points, p_mask, k)
+    from ..utils.math import quat_rotate
+
+    pw = quat_rotate(q[None, :], scan_q) + t[None, :]
+    d2, idx = knn(pw, points, k=k, p_mask=p_mask)
+    return pw, d2, idx
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_pair_pallas(q1, p1, m1, q2, p2, m2, k: int):
+    from .knn_pallas import knn_pallas
+
+    return (knn_pallas(q1, p1, k=k, p_mask=m1)
+            + knn_pallas(q2, p2, k=k, p_mask=m2))
+
+
+def knn_pair_auto(q1, p1, m1, q2, p2, m2, k: int = 5):
+    """Two independent kNN searches in ONE launch (the fusion surf+edge
+    pair). Returns (d²₁, idx₁, d²₂, idx₂) with the ``knn_auto`` policy."""
+    if _PALLAS_KNN != "0" and q1.dtype == jnp.float32 \
+            and not isinstance(q1, jax.core.Tracer) \
+            and jax.default_backend() == "tpu":
+        return _knn_pair_pallas(q1, p1, m1, q2, p2, m2, k)
+    return (knn(q1, p1, k=k, p_mask=m1) + knn(q2, p2, k=k, p_mask=m2))
