@@ -31,6 +31,10 @@ def main():
                     help="Livox internal IMU: g→m/s² + gravity-align init")
     ap.add_argument("--serial", action="store_true",
                     help="inline single-thread processing (no pipeline overlap)")
+    ap.add_argument("--ingest-hosts", type=int, default=1,
+                    help="decode the raw scan stream on N parallel ingest "
+                         "workers (runtime/ingest.py — the multi-host DCN "
+                         "ingest split, SURVEY.md §2.3)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +50,7 @@ def main():
     from lili_om_tpu.io.velodyne import VelodyneScanMsg, decode_packets
     from lili_om_tpu.models.system import LiliOmSystem
     from lili_om_tpu.ops.features_spin import ring_from_angle
+    from lili_om_tpu.runtime.ingest import ShardedIngest
     from lili_om_tpu.utils.config import load_config
 
     cfg = load_config(args.preset)
@@ -59,6 +64,7 @@ def main():
         livox_cfg=cfg.livox_features, lc_cfg=cfg.loop_closure, noise=cfg.imu_noise,
         dtype=jnp.float32,
     )
+    sys_.if_to_deskew = cfg.if_to_deskew  # yaml lidar_odometry/if_to_deskew
     # ingest, backend fusion, and loop closure overlap on the runner's
     # workers (the reference's 4-process topology + 1 Hz loop thread);
     # drop_when_full=False — offline replay must not drop scans
@@ -66,6 +72,47 @@ def main():
                             drop_when_full=False, loop_period_s=1.0,
                             scan_period=cfg.scan_period)
     runner.start()
+
+    def decode_scan(msg):
+        """Per-scan decode (the host-side ingest cost): packet parse +
+        ring/azimuth binning into the organized image. Runs on the ingest
+        workers under --ingest-hosts > 1."""
+        if isinstance(msg, LivoxCustomMsg):
+            period = 0.1
+            ratio = np.clip(msg.offset_time.astype(np.float32) * 1e-9 / period,
+                            0, 0.999)
+            return "livox", (msg.pts, msg.line.astype(np.int32), ratio,
+                             msg.reflectivity.astype(np.float32),
+                             np.isfinite(msg.pts).all(axis=1))
+        if isinstance(msg, VelodyneScanMsg):
+            # UTBM raw packets: the reference decodes with a
+            # velodyne_pointcloud cloud_node (run_utbm.launch:6-14)
+            dec = decode_packets(msg.packets,
+                                 "HDL32E" if rings == 32 else "VLP16")
+            pts, ring = dec.pts[dec.valid], dec.ring[dec.valid]
+            finite = np.isfinite(pts).all(axis=1)
+        else:
+            pts = msg.xyz()
+            finite = np.isfinite(pts).all(axis=1)
+            if "ring" in msg.fields:
+                ring = msg.field("ring").astype(np.int32)
+            else:
+                r, ok = ring_from_angle(jnp.asarray(pts, jnp.float32), rings)
+                ring = np.asarray(r)
+                finite &= np.asarray(ok)
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        rel = ((az + np.pi) / (2 * np.pi)).astype(np.float32)
+        col = np.clip((rel * args.cols).astype(np.int64), 0, args.cols - 1)
+        ring = np.clip(ring, 0, rings - 1)
+        img = np.zeros((rings, args.cols, 3), np.float32)
+        valid = np.zeros((rings, args.cols), bool)
+        relimg = np.zeros((rings, args.cols), np.float32)
+        img[ring[finite], col[finite]] = pts[finite]
+        valid[ring[finite], col[finite]] = True
+        relimg[ring[finite], col[finite]] = rel[finite]
+        return "spin", (img, valid, relimg)
+
+    ingest = ShardedIngest(runner, decode_scan, n_hosts=args.ingest_hosts)
 
     n_scans = 0
     t0 = time.time()
@@ -89,42 +136,9 @@ def main():
                 # (imuHandler, BackendFusion.cpp:624-665)
                 q0_seeded = sys_.set_initial_orientation(msg.orientation)
             runner.feed_imu(np.array([msg.stamp]), acc[None], gyr[None])
-        elif isinstance(msg, LivoxCustomMsg) and (args.lidar is None or topic == args.lidar):
-            period = 0.1
-            ratio = np.clip(msg.offset_time.astype(np.float32) * 1e-9 / period, 0, 0.999)
-            runner.feed_scan_livox(msg.pts, msg.line.astype(np.int32), ratio,
-                                   msg.reflectivity.astype(np.float32),
-                                   np.isfinite(msg.pts).all(axis=1), msg.stamp)
-            n_scans += 1
-        elif isinstance(msg, (PointCloud2Msg, VelodyneScanMsg)) and (
-                args.lidar is None or topic == args.lidar):
-            if isinstance(msg, VelodyneScanMsg):
-                # UTBM raw packets: the reference decodes with a
-                # velodyne_pointcloud cloud_node (run_utbm.launch:6-14)
-                dec = decode_packets(msg.packets,
-                                     "HDL32E" if rings == 32 else "VLP16")
-                pts, finite, ring = dec.pts[dec.valid], None, dec.ring[dec.valid]
-                finite = np.isfinite(pts).all(axis=1)
-            else:
-                pts = msg.xyz()
-                finite = np.isfinite(pts).all(axis=1)
-                if "ring" in msg.fields:
-                    ring = msg.field("ring").astype(np.int32)
-                else:
-                    r, ok = ring_from_angle(jnp.asarray(pts, jnp.float32), rings)
-                    ring = np.asarray(r)
-                    finite &= np.asarray(ok)
-            az = np.arctan2(pts[:, 1], pts[:, 0])
-            rel = ((az + np.pi) / (2 * np.pi)).astype(np.float32)
-            col = np.clip((rel * args.cols).astype(np.int64), 0, args.cols - 1)
-            ring = np.clip(ring, 0, rings - 1)
-            img = np.zeros((rings, args.cols, 3), np.float32)
-            valid = np.zeros((rings, args.cols), bool)
-            relimg = np.zeros((rings, args.cols), np.float32)
-            img[ring[finite], col[finite]] = pts[finite]
-            valid[ring[finite], col[finite]] = True
-            relimg[ring[finite], col[finite]] = rel[finite]
-            runner.feed_scan(img, valid, relimg, msg.stamp)
+        elif isinstance(msg, (LivoxCustomMsg, PointCloud2Msg, VelodyneScanMsg)) \
+                and (args.lidar is None or topic == args.lidar):
+            ingest.feed_raw(msg, msg.stamp)
             n_scans += 1
         if n_scans and n_scans % 50 == 0 and sys_.trajectory:
             print(f"fed {n_scans} (done {runner.n_processed})  "
@@ -134,6 +148,7 @@ def main():
         if args.max_scans and n_scans >= args.max_scans:
             break
 
+    ingest.close()
     runner.stop(drain=True)
     wall = time.time() - t0
     print(f"\n{runner.n_processed} scans, {len(sys_.kf_stamps)} keyframes, "

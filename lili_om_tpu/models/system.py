@@ -39,6 +39,16 @@ from ..utils.math import pose_relative, quat_mul, quat_normalize, quat_rotate
 from ..utils.metrics import StageMetrics
 
 
+@jax.jit
+def _reskew(pts, rel_time, trans):
+    """The reference's ``if_to_deskew`` republish transform: shift each
+    published point by its sweep-time fraction of the frame's relative
+    translation — ``undistortion(cloud, rel_trans, Identity)``
+    (LidarOdometry.cpp:624-632 calls it with ``quat(1,0,0,0)``, so only the
+    ``ratio·trans`` term survives; :178-199)."""
+    return pts + jnp.clip(rel_time, 0.0, 1.0)[:, None] * trans[None, :]
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _preprocess_spin(img, valid, rel_time, dts, gyrs, imu_mask, t_scan, q_lb,
                      cfg: SpinFeatureConfig):
@@ -220,6 +230,14 @@ class LiliOmSystem:
         # undistortion (see ops.features_spin.undistort); off by default
         # for exact reference parity
         self.deskew_translation = False
+        # the reference's ``if_to_deskew`` republish option
+        # (lidar_odometry/if_to_deskew, config yaml:11 Livox / :19 ROT —
+        # false in every shipped config): re-skew the clouds handed to the
+        # backend by ``ratio·rel_trans`` (LidarOdometry.cpp:624-632, identity
+        # quaternion — see _reskew). Distinct from ``deskew_translation``,
+        # which translation-deskews the *frontend input* with the previous
+        # frame's motion; enabling both double-counts the translation.
+        self.if_to_deskew = False
         # physical bound on the constant-velocity sweep-deskew translation
         # (m per sweep; 1.0 = 10 m/s at 10 Hz). Unbounded deskew is a
         # positive-feedback runaway: one bad relative estimate warps the
@@ -370,10 +388,12 @@ class LiliOmSystem:
             t_scan = jnp.asarray(
                 self._last_rel_t if self.deskew_translation else np.zeros(3),
                 self.dtype)
+            fcfg = (self.feat_cfg._replace(carry_rel_time=True)
+                    if self.if_to_deskew else self.feat_cfg)
             fc = _preprocess_spin(img, jnp.asarray(valid), rel_time,
                                   dts, gyrs, imu_mask, t_scan,
                                   jnp.asarray(self.fusion_cfg.q_lb, self.dtype),
-                                  self.feat_cfg)
+                                  fcfg)
         with self.metrics.stage("odometry"):
             # 8 bootstrap rounds for the first two frames (:500-504)
             rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
@@ -415,6 +435,17 @@ class LiliOmSystem:
                     "check n_cols/ring mapping and feature thresholds")
         else:
             self._starved_frames = 0
+
+        if self.if_to_deskew and out.is_keyframe:
+            # re-skew the clouds the backend consumes by this frame's
+            # relative translation (publishCloudLast, LidarOdometry.cpp:
+            # 624-632 — the reference republishes re-skewed feature clouds,
+            # which BackendFusion then subscribes to)
+            rt = jnp.asarray(summary[3:6], self.dtype)
+            fc = fc._replace(
+                surf_pts=_reskew(fc.surf_pts, fc.surf_rel_time, rt),
+                edge_pts=_reskew(fc.edge_pts, fc.edge_rel_time, rt),
+                full_pts=_reskew(fc.full_pts, fc.full_rel_time, rt))
 
         if defer_backend:
             return out, (fc if out.is_keyframe else None)
@@ -470,10 +501,14 @@ class LiliOmSystem:
                 pts, jnp.asarray(line, jnp.int32), ratio,
                 curv, jnp.asarray(valid), self.livox_cfg)
             lf = extract_features_livox(img, img_curv, img_valid, self.livox_cfg)
-            # bound the surf set to the odometry capacity by voxel downsampling
+            # bound the surf set to the odometry capacity by voxel
+            # downsampling; under if_to_deskew the per-point time rides as a
+            # second averaged channel (PCL VoxelGrid averages intensity)
+            feats = (jnp.stack([lf.surf_curv, lf.surf_rel_time], axis=1)
+                     if self.if_to_deskew else lf.surf_curv[:, None])
             surf, surf_refl, surf_mask = voxel_downsample(
                 lf.surf_pts, lf.surf_mask, 0.3, self.odo_cfg.scan_cap,
-                feats=lf.surf_curv[:, None])
+                feats=feats)
         with self.metrics.stage("odometry"):
             rounds = self.odo_cfg.max_rounds if self.n_frames < 2 else self.odo_cfg.scan_match_cnt
             if self._sharded_odo is not None:
@@ -512,22 +547,33 @@ class LiliOmSystem:
         else:
             self._starved_frames = 0
 
-        if defer_backend:
-            payload = None
-            if out.is_keyframe:
-                edge, edge_mask = pad_cloud(lf.edge_pts, lf.edge_mask,
-                                            self.fusion_cfg.kf_edge_cap)
-                payload = LivoxKeyframePayload(
-                    surf, surf_mask, surf_refl[:, 0], edge, edge_mask,
-                    pts, jnp.asarray(valid))
-            return out, payload
+        kf_clouds = None
         if out.is_keyframe:
+            edge, edge_mask = pad_cloud(lf.edge_pts, lf.edge_mask,
+                                        self.fusion_cfg.kf_edge_cap)
+            full = pts
+            surf_kf = surf
+            if self.if_to_deskew:
+                # republish re-skew (LidarOdometry.cpp:624-632) — see
+                # process_scan; the Livox variant has the same option
+                rt = jnp.asarray(summary[3:6], self.dtype)
+                surf_kf = _reskew(surf, surf_refl[:, 1], rt)
+                edge_rel, _ = pad_cloud(
+                    jnp.broadcast_to(lf.edge_rel_time[:, None], (lf.edge_rel_time.shape[0], 3)),
+                    lf.edge_mask, self.fusion_cfg.kf_edge_cap)
+                edge = _reskew(edge, edge_rel[:, 0], rt)
+                full = _reskew(pts, ratio, rt)
+            kf_clouds = (surf_kf, surf_mask, surf_refl[:, 0], edge, edge_mask,
+                         full, jnp.asarray(valid))
+
+        if defer_backend:
+            payload = (LivoxKeyframePayload(*kf_clouds)
+                       if kf_clouds is not None else None)
+            return out, payload
+        if kf_clouds is not None:
             with self.metrics.stage("backend"):
-                edge, edge_mask = pad_cloud(lf.edge_pts, lf.edge_mask,
-                                            self.fusion_cfg.kf_edge_cap)
-                self._on_keyframe_clouds(surf, surf_mask, surf_refl[:, 0],
-                                         edge, edge_mask, stamp,
-                                         full=(pts, jnp.asarray(valid)))
+                self._on_keyframe_clouds(*kf_clouds[:5], stamp,
+                                         full=kf_clouds[5:])
         self._maybe_publish_map(stamp)
         return out
 

@@ -55,6 +55,12 @@ class LivoxFeatures(NamedTuple):
     edge_mask: jnp.ndarray  # (P·L,)
     full_pts: jnp.ndarray  # (N, 3) cutted cloud (pass-through of input)
     full_mask: jnp.ndarray  # (N,)
+    # per-point relative sweep times, recovered from the image column (the
+    # column IS the time bin: col = round(ratio·(H−1)), bin_livox_image).
+    # Used by the ``if_to_deskew`` republish (LidarOdometry.cpp:624-632,
+    # which reads the time back out of ``intensity``).
+    surf_rel_time: jnp.ndarray | None = None  # (P·L·S,)
+    edge_rel_time: jnp.ndarray | None = None  # (P·L,)
 
 
 def bin_livox_image(pts: jnp.ndarray, line: jnp.ndarray, ratio: jnp.ndarray,
@@ -164,8 +170,18 @@ def extract_features_livox(img: jnp.ndarray, img_curv: jnp.ndarray, img_valid: j
     edge_out_mask = edge_mask.T.reshape(-1)
     del cand_curv
 
+    # relative times from column positions: cell (l,p,s) sits at column
+    # i0 + p·S + s → ratio = col/(H−1) (inverse of bin_livox_image's binning)
+    cols_ps = (i0 + jnp.arange(n_patches, dtype=dtype)[:, None] * S
+               + jnp.arange(S, dtype=dtype)[None, :]) / (H - 1)  # (P,S)
+    surf_rel = jnp.broadcast_to(cols_ps[:, None, :],
+                                (n_patches, L, S)).reshape(-1)
+    edge_rel = ((i0 + pi * S + best_j.astype(jnp.int32)).astype(dtype)
+                / (H - 1)).T.reshape(-1)  # (P·L,)
+
     return LivoxFeatures(
         surf_pts=surf_pts, surf_normal=surf_nrm, surf_curv=surf_cv, surf_mask=surf_m,
         edge_pts=edge_out_pts, edge_dir=edge_out_dir, edge_mask=edge_out_mask,
         full_pts=img.reshape(-1, 3), full_mask=img_valid.reshape(-1),
+        surf_rel_time=surf_rel, edge_rel_time=edge_rel,
     )

@@ -53,6 +53,13 @@ class SpinFeatureConfig(NamedTuple):
     # the ~6×-smaller run table sorts; see ops/voxel.py
     # voxel_downsample_ordered). False = the single-sort point-level kernel.
     ordered_ds: bool = True
+    # carry per-point relative sweep times on the surf/edge outputs — needed
+    # by the ``if_to_deskew`` republish option (LidarOdometry.cpp:624-632
+    # re-skews the published feature clouds using the time packed in
+    # ``intensity``). Off by default: the surf times ride the voxel
+    # downsample as an extra averaged channel (PCL's VoxelGrid averages
+    # ``intensity`` the same way), which the parity hot path need not pay.
+    carry_rel_time: bool = False
 
 
 class FeatureClouds(NamedTuple):
@@ -69,6 +76,12 @@ class FeatureClouds(NamedTuple):
     full_pts: jnp.ndarray  # (N,3) undistorted full cloud
     full_mask: jnp.ndarray  # (N,)
     full_rel_time: jnp.ndarray  # (N,)
+    # per-point relative sweep times (cfg.carry_rel_time; else None) — the
+    # time the reference packs into ``intensity`` (scanID + 0.1·relTime,
+    # ROT Preprocessing.cpp:349-368) and reads back for the if_to_deskew
+    # republish (LidarOdometry.cpp:624-632)
+    surf_rel_time: jnp.ndarray | None = None  # (S,) voxel-averaged
+    edge_rel_time: jnp.ndarray | None = None  # (E,)
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +277,11 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
     edge_pts = edge_pts.reshape(-1, 3)
     edge_mask = pick_ok.reshape(-1)
     sharp_mask = sharp.reshape(-1)
+    edge_rel = None
+    if cfg.carry_rel_time:
+        edge_rel = jnp.take_along_axis(rel_time.reshape(R, C),
+                                       col_idx.reshape(R, -1), axis=1
+                                       ).reshape(-1).astype(dtype)
 
     # --- flat picks: curvature < thres, local min, bottom-k per sector ---
     flat_cand = _local_extremum(curv, ok & (curv < cfg.flat_thres), cfg.suppress_radius, "min")
@@ -281,6 +299,12 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
     ].max(pick_ok)
     less_flat_mask = ok & ~edge_label.reshape(R, C)
     ds = voxel_downsample_ordered if cfg.ordered_ds else voxel_downsample
+    # if_to_deskew support: ride the surf times through the downsample as an
+    # averaged channel (PCL VoxelGrid averages ``intensity``, which is where
+    # the reference keeps its per-point time)
+    ds_feats = (rel_time.reshape(-1, 1).astype(dtype)
+                if cfg.carry_rel_time else None)
+    surf_rel = None
     if cfg.per_ring_ds:
         # per-ring filtering (:494-508): each ring downsamples on its own
         # grid — voxels never merge across rings (preserves the vertical
@@ -292,13 +316,16 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
         # the group id).
         ring_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
                                     (R, C)).reshape(-1)
-        surf_pts, surf_mask = ds(
-            img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf,
-            cfg.surf_cap, groups=ring_ids)
+        out = ds(img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf,
+                 cfg.surf_cap, feats=ds_feats, groups=ring_ids)
     else:
-        surf_pts, surf_mask = ds(
-            img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf,
-            cfg.surf_cap)
+        out = ds(img.reshape(-1, 3), less_flat_mask.reshape(-1), cfg.ds_leaf,
+                 cfg.surf_cap, feats=ds_feats)
+    if cfg.carry_rel_time:
+        surf_pts, surf_feats, surf_mask = out
+        surf_rel = surf_feats[:, 0]
+    else:
+        surf_pts, surf_mask = out
 
     return FeatureClouds(
         edge_pts=edge_pts.astype(dtype), edge_mask=edge_mask, sharp_mask=sharp_mask,
@@ -307,4 +334,5 @@ def extract_features_spin(img: jnp.ndarray, valid: jnp.ndarray, rel_time: jnp.nd
         full_pts=full_pts_src.reshape(-1, 3),
         full_mask=full_mask_src.reshape(-1),
         full_rel_time=full_rel_src.reshape(-1),
+        surf_rel_time=surf_rel, edge_rel_time=edge_rel,
     )

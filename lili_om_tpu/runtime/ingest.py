@@ -1,0 +1,146 @@
+"""Host-count-aware scan-ingest split — the DCN half of the data-sharding
+north star (SURVEY.md §2.3: "DCN for multi-host scan ingest"; the ICI half —
+map-sharded fusion over the device mesh — lives in parallel/map_fusion.py).
+
+The host-side cost of ingesting a real sensor stream is the per-scan DECODE:
+raw Velodyne packet parsing + ring/azimuth binning into the organized image
+(io/velodyne.py:decode_packets + the binning in examples/run_bag.py) runs
+~5-10 ms of numpy per scan — at 10 Hz that is most of one host core, and on
+a multi-host pod it is embarrassingly parallel while the SLAM filter itself
+is sequential. The reference has no equivalent (single machine, the
+velodyne_pointcloud cloud_node decodes in-process, run_utbm.launch:6-14).
+
+``ShardedIngest`` splits the raw stream round-robin over ``n_hosts`` decode
+workers and re-sequences the decoded scans back into strict arrival order
+before forwarding to the :class:`~lili_om_tpu.runtime.pipeline
+.PipelineRunner`. The mapping onto a real multi-host deployment:
+
+* worker i ⇔ the ingest thread of JAX process i (``jax.process_index()``),
+  each receiving 1/n of the sensor stream from its local NIC or bag shard;
+* the forward hop (decoded arrays → the process hosting the runner) rides
+  DCN via ``jax.device_put`` onto the process-0-addressable mesh — a few
+  MB/scan, far below DCN bandwidth;
+* the re-sequencer is the same stamp-ordered gate the runner already
+  applies; scans are forwarded in order, so downstream behavior is
+  bit-identical to single-host ingest (tested).
+
+In this single-host build the workers are threads (the decode releases the
+GIL in numpy) and the forward hop is an in-process queue — the *structure*
+(deterministic round-robin split, order-restoring merge, bounded buffers)
+is what carries to the pod.
+"""
+from __future__ import annotations
+
+import heapq
+import queue
+import threading
+from typing import Callable, Optional
+
+__all__ = ["ShardedIngest"]
+
+
+class ShardedIngest:
+    """Round-robin raw-scan decode over ``n_hosts`` workers with an
+    order-restoring merge.
+
+    Args:
+      runner: a PipelineRunner (or anything with ``feed_scan`` /
+        ``feed_scan_livox``).
+      decode_fn: ``raw -> ("spin", (img, valid, rel_time))`` or
+        ``("livox", (pts, line, ratio, refl, valid))`` — the per-scan decode
+        executed on the worker shard.
+      n_hosts: decode parallelism (1 = inline decode, no threads).
+      queue_cap: per-worker bounded input queue (backpressure to the
+        producer, like the reference's bounded topic queues).
+    """
+
+    def __init__(self, runner, decode_fn: Callable, n_hosts: int = 1,
+                 queue_cap: int = 16):
+        if n_hosts < 1:
+            raise ValueError("n_hosts must be >= 1")
+        self.runner = runner
+        self.decode_fn = decode_fn
+        self.n_hosts = n_hosts
+        self.n_decoded = 0
+        self.n_forwarded = 0
+        self._seq = 0
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        if n_hosts > 1:
+            self._in: list[queue.Queue] = [queue.Queue(maxsize=queue_cap)
+                                           for _ in range(n_hosts)]
+            # order-restoring merge state: decoded scans may finish out of
+            # order across workers; forward strictly by sequence number
+            self._merge_lock = threading.Lock()
+            self._merge_cv = threading.Condition(self._merge_lock)
+            self._heap: list = []  # (seq, kind, payload, stamp)
+            self._next_fwd = 0
+            self._workers = [
+                threading.Thread(target=self._work, args=(i,), daemon=True)
+                for i in range(n_hosts)]
+            for t in self._workers:
+                t.start()
+
+    # ---- producer side --------------------------------------------------
+    def feed_raw(self, raw, stamp: float):
+        """Submit one raw scan (packets, flat cloud, …). Blocks when the
+        owning worker's queue is full (lossless backpressure)."""
+        if self._err is not None:
+            raise RuntimeError("ingest worker failed") from self._err
+        s = self._seq
+        self._seq += 1
+        if self.n_hosts == 1:
+            self._forward(s, *self._decode(raw), stamp)
+            return
+        self._in[s % self.n_hosts].put((s, raw, stamp))
+
+    def close(self, timeout: float = 60.0):
+        """Drain remaining decodes and stop the workers."""
+        if self.n_hosts > 1:
+            with self._merge_cv:
+                self._merge_cv.wait_for(
+                    lambda: self._next_fwd == self._seq or self._err,
+                    timeout=timeout)
+            self._stop.set()
+            for t in self._workers:
+                t.join(timeout=10)
+        if self._err is not None:
+            raise RuntimeError("ingest worker failed") from self._err
+
+    # ---- internals -------------------------------------------------------
+    def _decode(self, raw):
+        kind, payload = self.decode_fn(raw)
+        if kind not in ("spin", "livox"):
+            raise ValueError(f"decode_fn returned unknown kind {kind!r}")
+        self.n_decoded += 1
+        return kind, payload
+
+    def _forward(self, seq, kind, payload, stamp):
+        feed = (self.runner.feed_scan if kind == "spin"
+                else self.runner.feed_scan_livox)
+        feed(*payload, stamp)
+        self.n_forwarded += 1
+
+    def _work(self, i: int):
+        q = self._in[i]
+        while not self._stop.is_set():
+            try:
+                seq, raw, stamp = q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                kind, payload = self._decode(raw)
+            except BaseException as e:  # surface to the producer
+                with self._merge_cv:
+                    self._err = e
+                    self._merge_cv.notify_all()
+                return
+            with self._merge_cv:
+                heapq.heappush(self._heap, (seq, kind, payload, stamp))
+                # forward every ready-in-order scan (any worker may do it —
+                # the lock serializes, preserving strict order)
+                while self._heap and self._heap[0][0] == self._next_fwd:
+                    s, k, p, st = heapq.heappop(self._heap)
+                    self._forward(s, k, p, st)
+                    self._next_fwd += 1
+                self._merge_cv.notify_all()

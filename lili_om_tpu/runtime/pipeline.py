@@ -217,8 +217,32 @@ class PipelineRunner:
         self._loop_thread = threading.Thread(target=self._loop_closure_loop, daemon=True)
         self._loop_thread.start()
 
+    def flush(self):
+        """End-of-stream: release every scan still gated in the sequencer,
+        in stamp order. Offline-replay semantics — once the producer is done
+        no further IMU coverage can arrive, so the gate would strand the
+        tail scans forever (the reference's nodes simply stop when ``rosbag
+        play`` ends; an offline tool must process everything it was fed).
+        Undistortion of a flushed scan uses whatever IMU samples exist."""
+        with self._seq_lock:
+            with self._store_lock:
+                items = sorted(self._scan_store.values(), key=lambda it: it[2])
+                self._scan_store.clear()
+        # later sequencer pops of these handles find the store empty and
+        # skip (see _drain_sequencer) — no double delivery
+        for item in items:
+            while not self._stop.is_set():
+                try:
+                    self._ready.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    if self.drop_when_full:
+                        self.n_dropped += 1
+                        break
+
     def stop(self, drain: bool = True, timeout: float = 300.0):
         if drain:
+            self.flush()
             t0 = time.time()
             while ((not self._ready.empty() or not self._kf_queue.empty())
                    and time.time() - t0 < timeout):

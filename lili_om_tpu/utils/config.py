@@ -34,6 +34,11 @@ class SystemConfig:
     imu_noise: ImuNoise = ImuNoise()
     imu_rate: float = 200.0
     scan_period: float = 0.1
+    # lidar_odometry/if_to_deskew (config yaml:11 Livox / :19 ROT — false in
+    # every shipped config): re-skew the clouds republished to the backend
+    # by ratio·rel_trans (LidarOdometry.cpp:624-632). Examples wire it onto
+    # LiliOmSystem.if_to_deskew.
+    if_to_deskew: bool = False
 
 
 def _merge_namedtuple(base, overrides: dict, ctx: str):
