@@ -144,6 +144,14 @@ def gather_neighbors(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 # call is a TOP-LEVEL dispatch on TPU (the split-dispatch paths); "1" =
 # also inside traced programs; "0" = never.
 _PALLAS_KNN = os.environ.get("LILI_OM_PALLAS_KNN", "auto")
+# LILI_OM_KNN_PRUNED=1: the Morton-sorted bound-pruned kernel
+# (knn_pallas_pruned) instead of the dense one. Exact (identical distances;
+# index ties may resolve differently). Opt-in, not default: measured on the
+# parity bench's room-world geometry it wins only ~5-15 % (bounding boxes of
+# 256-query blocks overlap most 2048-point tile boxes, so ~2/3 of tiles
+# survive the cull, and the Morton pre-sorts offset the savings); open-sky
+# outdoor maps with larger spatial separation should prune far better.
+_KNN_PRUNED = os.environ.get("LILI_OM_KNN_PRUNED", "0") == "1"
 
 
 def knn_auto(queries, points, k: int = 5, p_mask=None):
@@ -158,6 +166,10 @@ def knn_auto(queries, points, k: int = 5, p_mask=None):
     if _PALLAS_KNN != "0" and queries.dtype == jnp.float32:
         top_level = not isinstance(queries, jax.core.Tracer)
         if (top_level or _PALLAS_KNN == "1") and jax.default_backend() == "tpu":
+            if _KNN_PRUNED:
+                from .knn_pallas import knn_pallas_pruned
+
+                return knn_pallas_pruned(queries, points, k=k, p_mask=p_mask)
             from .knn_pallas import knn_pallas
 
             return knn_pallas(queries, points, k=k, p_mask=p_mask)

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from lili_om_tpu.ops.knn import knn
-from lili_om_tpu.ops.knn_pallas import knn_pallas
+from lili_om_tpu.ops.knn_pallas import knn_pallas, knn_pallas_pruned
 
 
 class TestKnnPallas:
@@ -73,4 +73,67 @@ class TestKnnPallas:
         np.testing.assert_allclose(np.asarray(d_x), d_true, atol=2e-3)
         d_p, _ = knn_pallas(jnp.asarray(q_np), jnp.asarray(p_np), k=5,
                             q_block=128, tile_p=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(d_p), d_true, atol=2e-2)
+
+
+class TestKnnPallasPruned:
+    """Morton-sorted + bound-gated variant: distances must equal the dense
+    kernel BIT FOR BIT; indices may differ only on truncated-distance ties
+    (the 2⁻¹² class both kernels share)."""
+
+    def _check(self, q, p, mask=None, **kw):
+        d1, i1 = knn_pallas(q, p, k=5, p_mask=mask, q_block=128,
+                            tile_p=kw.get("tile_p", 256), interpret=True)
+        d2, i2 = knn_pallas_pruned(q, p, k=5, p_mask=mask, q_block=128,
+                                   tile_p=kw.get("tile_p", 256),
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        # index mismatches only where another map point has the SAME
+        # truncated distance (tie): re-derive each side's distance
+        mm = np.asarray(i1) != np.asarray(i2)
+        if mm.any():
+            qn, pn = np.asarray(q, np.float64), np.asarray(p, np.float64)
+            da = np.sum((qn[:, None] - pn[np.asarray(i1)]) ** 2, -1)
+            db = np.sum((qn[:, None] - pn[np.asarray(i2)]) ** 2, -1)
+            np.testing.assert_allclose(da[mm], db[mm], rtol=2e-3)
+        return d2, i2
+
+    def test_matches_dense(self):
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.uniform(-30, 30, (300, 3)), jnp.float32)
+        p = jnp.asarray(rng.uniform(-30, 30, (3000, 3)), jnp.float32)
+        self._check(q, p)
+
+    def test_masked_and_surface_data(self):
+        rng = np.random.default_rng(4)
+        # surface-concentrated map (the pruning-friendly case) + 30% masked
+        p_np = rng.uniform(-20, 20, (2048, 3)).astype(np.float32)
+        p_np[:700, 2] = 0.0  # floor
+        p_np[700:1400, 0] = 20.0  # wall
+        q = jnp.asarray(rng.uniform(-20, 20, (257, 3)), jnp.float32)
+        mask = jnp.asarray(rng.uniform(size=2048) > 0.3)
+        d, i = self._check(q, jnp.asarray(p_np), mask)
+        assert np.all(np.asarray(mask)[np.asarray(i)[np.isfinite(np.asarray(d))]])
+
+    def test_insufficient_neighbors_idx_zero(self):
+        pts = jnp.array([[0.0, 0, 0], [1, 0, 0], [2, 0, 0],
+                         [9, 9, 9], [8, 8, 8]], jnp.float32)
+        mask = jnp.array([True, True, True, False, False])
+        q = jnp.array([[0.1, 0, 0], [5.0, 5, 5]], jnp.float32)
+        d, i = knn_pallas_pruned(q, pts, k=5, p_mask=mask, q_block=128,
+                                 tile_p=256, interpret=True)
+        d, i = np.asarray(d), np.asarray(i)
+        assert np.all(~np.isfinite(d[:, 3:]))
+        assert np.all(i[:, 3:] == 0)
+        assert np.all(i[:, :3] < 3)
+
+    def test_far_from_origin_accuracy(self):
+        rng = np.random.default_rng(7)
+        q_np = (rng.uniform(-10, 10, (64, 3)) + 500.0).astype(np.float32)
+        p_np = (rng.uniform(-10, 10, (512, 3)) + 500.0).astype(np.float32)
+        d_true = np.sort(np.sum(
+            (q_np[:, None].astype(np.float64) - p_np[None].astype(np.float64)) ** 2,
+            axis=-1), axis=1)[:, :5]
+        d_p, _ = knn_pallas_pruned(jnp.asarray(q_np), jnp.asarray(p_np), k=5,
+                                   q_block=128, tile_p=256, interpret=True)
         np.testing.assert_allclose(np.asarray(d_p), d_true, atol=2e-2)
