@@ -1048,8 +1048,9 @@ def fusion_step_split(
         state, surf_pts, surf_mask, surf_refl, edge_pts, edge_mask,
         imu_dts, imu_accs, imu_gyrs, imu_valid, cfg, noise, rebuild=rebuild)
     map_surf, map_refl, map_surf_mask, map_edge, map_edge_mask, enough_map = maps
-    d2s, idxs, d2e, idxe = knn_pair_auto(pw_surf, map_surf, map_surf_mask,
-                                         pw_edge, map_edge, map_edge_mask,
-                                         k=cfg.k)
+    d2s, idxs, d2e, idxe = knn_pair_auto(
+        pw_surf, map_surf, map_surf_mask,
+        pw_edge, map_edge, map_edge_mask, k=cfg.k,
+        qm1=mid.win_surf_mask.reshape(-1), qm2=mid.win_edge_mask.reshape(-1))
     return _fusion_post(state, mid, map_surf, map_refl, map_edge, enough_map,
                         pw_surf, d2s, idxs, d2e, idxe, cfg, noise)

@@ -479,7 +479,7 @@ def odometry_step_split(state: OdometryState, surf_pts, surf_mask,
     n_corr = jnp.zeros((), jnp.int32)
     for _ in range(n_rounds):
         pw, d2, idx = world_knn_auto(t, q, scan_q, map_pts, k=cfg.k,
-                                     p_mask=map_mask)
+                                     p_mask=map_mask, q_mask=scan_q_mask)
         t, q, n_corr = _odo_round_tail(t, q, scan_q, scan_q_mask, pw,
                                        map_pts, d2, idx, cfg)
     return _odo_finalize(state, scan_q, scan_q_mask, surf_pts, surf_mask,

@@ -152,9 +152,35 @@ _PALLAS_KNN = os.environ.get("LILI_OM_PALLAS_KNN", "auto")
 # survive the cull, and the Morton pre-sorts offset the savings); open-sky
 # outdoor maps with larger spatial separation should prune far better.
 _KNN_PRUNED = os.environ.get("LILI_OM_KNN_PRUNED", "0") == "1"
+# LILI_OM_KNN_COUNTED: "1" (default) = the count-bounded kernel
+# (knn_pallas_counted) whenever a mask is available — work scales with the
+# VALID data (tail tiles past the last valid map row and empty query blocks
+# are skipped; bit-identical results). "0" = always the dense kernel.
+_KNN_COUNTED = os.environ.get("LILI_OM_KNN_COUNTED", "1") != "0"
+# resident-map VMEM budget of the counted kernel; beyond this fall back to
+# the tiled dense kernel (the hash-grid path owns truly huge maps anyway)
+_COUNTED_MAX_P = 65536
 
 
-def knn_auto(queries, points, k: int = 5, p_mask=None):
+def _dispatch_pallas(queries, points, k, p_mask, q_mask):
+    """Pick the Pallas kernel variant (called only on the TPU top-level
+    dispatch path)."""
+    if _KNN_PRUNED:
+        from .knn_pallas import knn_pallas_pruned
+
+        return knn_pallas_pruned(queries, points, k=k, p_mask=p_mask)
+    if (_KNN_COUNTED and points.shape[0] <= _COUNTED_MAX_P
+            and (p_mask is not None or q_mask is not None)):
+        from .knn_pallas import knn_pallas_counted
+
+        return knn_pallas_counted(queries, points, k=k, p_mask=p_mask,
+                                  q_mask=q_mask)
+    from .knn_pallas import knn_pallas
+
+    return knn_pallas(queries, points, k=k, p_mask=p_mask)
+
+
+def knn_auto(queries, points, k: int = 5, p_mask=None, q_mask=None):
     """Backend-dispatching kNN. The fused Pallas kernel (ops/knn_pallas.py)
     is ~2× the XLA path (4.0 vs 8.2 ms for 4096×32768, 6.0 vs 11.4 for
     6144×32768 on one v5e), but embedding tpu_custom_call inside the large
@@ -162,17 +188,15 @@ def knn_auto(queries, points, k: int = 5, p_mask=None):
     minutes under the current toolchain. Default policy: Pallas on TPU when
     dispatched at top level (``queries`` is a concrete array — the
     split-dispatch production paths), tiled-XLA min-extraction when traced
-    inside a larger program. Override via LILI_OM_PALLAS_KNN=0/1."""
+    inside a larger program. Override via LILI_OM_PALLAS_KNN=0/1.
+
+    ``q_mask`` (optional) marks valid queries; it does not change any valid
+    query's result, but lets the count-bounded kernel skip all-invalid
+    query blocks (invalid rows then return (+inf, 0) instead of garbage)."""
     if _PALLAS_KNN != "0" and queries.dtype == jnp.float32:
         top_level = not isinstance(queries, jax.core.Tracer)
         if (top_level or _PALLAS_KNN == "1") and jax.default_backend() == "tpu":
-            if _KNN_PRUNED:
-                from .knn_pallas import knn_pallas_pruned
-
-                return knn_pallas_pruned(queries, points, k=k, p_mask=p_mask)
-            from .knn_pallas import knn_pallas
-
-            return knn_pallas(queries, points, k=k, p_mask=p_mask)
+            return _dispatch_pallas(queries, points, k, p_mask, q_mask)
     return knn(queries, points, k=k, p_mask=p_mask)
 
 
@@ -185,23 +209,23 @@ def knn_auto(queries, points, k: int = 5, p_mask=None):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _world_knn_pallas(t, q, scan_q, points, p_mask, k: int):
+def _world_knn_pallas(t, q, scan_q, points, p_mask, q_mask, k: int):
     from ..utils.math import quat_rotate
-    from .knn_pallas import knn_pallas
 
     pw = quat_rotate(q[None, :], scan_q) + t[None, :]
-    d2, idx = knn_pallas(pw, points, k=k, p_mask=p_mask)
+    d2, idx = _dispatch_pallas(pw, points, k, p_mask, q_mask)
     return pw, d2, idx
 
 
-def world_knn_auto(t, q, scan_q, points, k: int = 5, p_mask=None):
+def world_knn_auto(t, q, scan_q, points, k: int = 5, p_mask=None,
+                   q_mask=None):
     """``pw = R(q)·scan_q + t`` fused into the kNN launch (one dispatch
     instead of world-transform + kNN). Returns (pw, d², idx) with the
     ``knn_auto`` backend policy."""
     if _PALLAS_KNN != "0" and scan_q.dtype == jnp.float32 \
             and not isinstance(scan_q, jax.core.Tracer) \
             and jax.default_backend() == "tpu":
-        return _world_knn_pallas(t, q, scan_q, points, p_mask, k)
+        return _world_knn_pallas(t, q, scan_q, points, p_mask, q_mask, k)
     from ..utils.math import quat_rotate
 
     pw = quat_rotate(q[None, :], scan_q) + t[None, :]
@@ -210,18 +234,16 @@ def world_knn_auto(t, q, scan_q, points, k: int = 5, p_mask=None):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _knn_pair_pallas(q1, p1, m1, q2, p2, m2, k: int):
-    from .knn_pallas import knn_pallas
-
-    return (knn_pallas(q1, p1, k=k, p_mask=m1)
-            + knn_pallas(q2, p2, k=k, p_mask=m2))
+def _knn_pair_pallas(q1, p1, m1, qm1, q2, p2, m2, qm2, k: int):
+    return (_dispatch_pallas(q1, p1, k, m1, qm1)
+            + _dispatch_pallas(q2, p2, k, m2, qm2))
 
 
-def knn_pair_auto(q1, p1, m1, q2, p2, m2, k: int = 5):
+def knn_pair_auto(q1, p1, m1, q2, p2, m2, k: int = 5, qm1=None, qm2=None):
     """Two independent kNN searches in ONE launch (the fusion surf+edge
     pair). Returns (d²₁, idx₁, d²₂, idx₂) with the ``knn_auto`` policy."""
     if _PALLAS_KNN != "0" and q1.dtype == jnp.float32 \
             and not isinstance(q1, jax.core.Tracer) \
             and jax.default_backend() == "tpu":
-        return _knn_pair_pallas(q1, p1, m1, q2, p2, m2, k)
+        return _knn_pair_pallas(q1, p1, m1, qm1, q2, p2, m2, qm2, k)
     return (knn(q1, p1, k=k, p_mask=m1) + knn(q2, p2, k=k, p_mask=m2))

@@ -200,6 +200,167 @@ def knn_pallas(queries, points, k: int = 5, p_mask=None,
 
 
 # ---------------------------------------------------------------------------
+# Count-bounded variant: skip the padding, keep the result bit-identical
+# ---------------------------------------------------------------------------
+#
+# Every launch in the production pipeline runs at its STATIC capacity
+# (odometry map 32768, fusion surf map 32768, fusion edge map 8192 — the
+# fixed-shape contract), but the VALID fraction is often small: measured on
+# the parity bench, the odometry map holds ~4k valid points (12 %), the
+# fusion edge map ~340 (4 %), and whole 256-query blocks of the flattened
+# (window × cap) query layout are empty. The dense kernel pays k+2 VPU
+# passes over all of it.
+#
+# This variant bounds the work by the DATA, not the capacity:
+#
+# * the map stays VMEM-resident (a 32k transposed map is ~0.5 MB) and an
+#   in-kernel ``fori_loop`` walks only ``ceil(last_valid/tile_p)`` tiles —
+#   a traced bound, so the launch shape never changes;
+# * a per-query-block any-valid bitmap (scalar-prefetched) zeroes the trip
+#   count of empty blocks — they cost one scalar read and output +inf/0.
+#
+# BIT-EXACTNESS vs knn_pallas: tiles are visited in the same ascending
+# order with the same merge, so retained candidates are identical. A
+# skipped tail tile is all-masked: its packed candidates are
+# ``_INT_INF | lane`` ≥ every accumulator entry (the accumulator's empty
+# slots are ``_INT_INF`` with a clear tag and win ties by position), so
+# merging it is a no-op — skipping is lossless. Empty query blocks leave
+# the accumulator at init (+inf ⇒ d=+inf, idx=0 after the contract scrub),
+# which is exactly what the dense kernel returns for all-masked queries of
+# an empty map and strictly more defined than the "garbage for invalid
+# queries" contract (ops/knn.py:71).
+
+
+def _knn_kernel_counted(qb_any_ref, n_tiles_ref, q_ref, ptsT_ref,
+                        maskinf_ref, out_d_ref, out_i_ref, *, k, tile_p):
+    """Grid step i: query block i vs the first n_tiles map tiles (resident
+    map, dynamic trip count; see the section comment)."""
+    i = pl.program_id(0)
+    QB = q_ref.shape[0]
+    q = q_ref[:]  # (QB, 3)
+    q_norm = jnp.sum(q * q, axis=1, keepdims=True)
+    clear = ~_IDX_MASK
+
+    def work(t, acc):
+        acc_db, acc_i = acc
+        start = t * tile_p
+        ptsT = ptsT_ref[:, pl.ds(start, tile_p)]  # (3, TB) from VMEM
+        minf = maskinf_ref[0, pl.ds(start, tile_p)]
+        cross = jax.lax.dot_general(
+            q, ptsT, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        p_norm = jnp.sum(ptsT * ptsT, axis=0)
+        d = q_norm + (p_norm + minf)[None, :] - 2.0 * cross
+        db = jax.lax.bitcast_convert_type(d, jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        tp = _extract_k_packed((db & clear) | lane, k)
+        td = tp & clear
+        ti = (tp & _IDX_MASK) + start
+
+        cat_d = jnp.concatenate([acc_db, td], axis=1)  # (QB, 2k)
+        cat_i = jnp.concatenate([acc_i, ti], axis=1)
+        pos = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
+        mp = _extract_k_packed(cat_d | pos, k)
+        cols = []
+        for jj in range(k):
+            sel = (mp[:, jj:jj + 1] & _IDX_MASK) == pos
+            cols.append(jnp.sum(jnp.where(sel, cat_i, 0), axis=1,
+                                dtype=jnp.int32))
+        return mp & clear, jnp.stack(cols, axis=1)
+
+    # empty query block ⇒ trip count 0 ⇒ accumulator stays at init
+    n = n_tiles_ref[0] * qb_any_ref[i]
+    acc0 = (jnp.full((QB, k), _INT_INF, jnp.int32),
+            jnp.zeros((QB, k), jnp.int32))
+    acc_db, acc_i = jax.lax.fori_loop(0, n, work, acc0)
+
+    out_d_ref[:, :k] = jax.lax.bitcast_convert_type(acc_db, jnp.float32)
+    out_d_ref[:, k:] = jnp.zeros((QB, _LANE - k), jnp.float32)
+    out_i_ref[:, :k] = acc_i
+    out_i_ref[:, k:] = jnp.zeros((QB, _LANE - k), jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "q_block", "tile_p", "interpret"))
+def knn_pallas_counted(queries, points, k: int = 5, p_mask=None, q_mask=None,
+                       q_block: int = 256, tile_p: int = 4096,
+                       interpret: bool = False):
+    """Exact kNN, work bounded by the valid data instead of the static
+    capacity (see the section comment). Same contract as :func:`knn_pallas`;
+    identical results for valid queries. ``q_mask`` rows that are invalid
+    may return (+inf, 0) instead of garbage — strictly more defined.
+
+    Valid map rows should be FRONT-COMPACTED for the tile bound to bite
+    (all production tables are — voxel tables emit valid-first); a
+    non-compacted mask only costs speed (the bound covers up to the last
+    valid row), never correctness."""
+    if tile_p > 1 << _IDX_BITS:
+        raise ValueError(f"tile_p {tile_p} exceeds the {_IDX_BITS}-bit "
+                         "index-packing budget (max 4096)")
+    Q, P = queries.shape[0], points.shape[0]
+    queries = queries.astype(jnp.float32)
+    points = points.astype(jnp.float32)
+    if p_mask is None:
+        p_mask = jnp.ones((P,), bool)
+    c = (jnp.sum(jnp.where(p_mask[:, None], points, 0.0), axis=0)
+         / jnp.maximum(jnp.sum(p_mask.astype(jnp.float32)), 1.0))
+    queries = queries - c
+    points = points - c
+
+    Qp = -(-Q // q_block) * q_block
+    Pp = -(-P // tile_p) * tile_p
+    qpad = jnp.zeros((Qp, 3), jnp.float32).at[:Q].set(queries)
+    ptsT = jnp.zeros((3, Pp), jnp.float32).at[:, :P].set(points.T)
+    maskinf = jnp.full((1, Pp), jnp.inf, jnp.float32).at[0, :P].set(
+        jnp.where(p_mask, 0.0, jnp.inf))
+
+    # tile bound: cover up to the LAST valid map row (robust to gaps)
+    last = jnp.max(jnp.where(
+        p_mask, jnp.arange(1, P + 1, dtype=jnp.int32), 0))
+    n_tiles = (last + tile_p - 1) // tile_p  # 0 when the map is empty
+    ni = Qp // q_block
+    if q_mask is None:
+        qb_any = jnp.ones((ni,), jnp.int32)
+    else:
+        qm = jnp.zeros((Qp,), bool).at[:Q].set(q_mask)
+        qb_any = qm.reshape(ni, q_block).any(axis=1).astype(jnp.int32)
+
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ni,),
+        in_specs=[
+            pl.BlockSpec((q_block, 3), lambda i, a, n: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Pp), lambda i, a, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), lambda i, a, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_block, _LANE), lambda i, a, n: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, _LANE), lambda i, a, n: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        partial(_knn_kernel_counted, k=k, tile_p=tile_p),
+        grid_spec=spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Qp, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, _LANE), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(qb_any, n_tiles.reshape(1), qpad, ptsT, maskinf)
+
+    d = jnp.maximum(out_d[:Q, :k], 0.0)
+    i = jnp.where(jnp.isfinite(d), out_i[:Q, :k], 0)
+    return d, i
+
+
+# ---------------------------------------------------------------------------
 # Spatially-pruned variant: Morton-sorted blocks + bound-gated extraction
 # ---------------------------------------------------------------------------
 #

@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from lili_om_tpu.ops.knn import knn
-from lili_om_tpu.ops.knn_pallas import knn_pallas, knn_pallas_pruned
+from lili_om_tpu.ops.knn_pallas import (knn_pallas, knn_pallas_counted,
+                                         knn_pallas_pruned)
 
 
 class TestKnnPallas:
@@ -137,3 +138,74 @@ class TestKnnPallasPruned:
         d_p, _ = knn_pallas_pruned(jnp.asarray(q_np), jnp.asarray(p_np), k=5,
                                    q_block=128, tile_p=256, interpret=True)
         np.testing.assert_allclose(np.asarray(d_p), d_true, atol=2e-2)
+
+
+class TestKnnPallasCounted:
+    """Count-bounded variant: for valid queries the result must equal the
+    dense kernel BIT FOR BIT (same tile order, same merge); skipped query
+    blocks return (+inf, 0)."""
+
+    def _check(self, q, p, p_mask=None, q_mask=None, tile_p=256):
+        d1, i1 = knn_pallas(q, p, k=5, p_mask=p_mask, q_block=128,
+                            tile_p=tile_p, interpret=True)
+        d2, i2 = knn_pallas_counted(q, p, k=5, p_mask=p_mask, q_mask=q_mask,
+                                    q_block=128, tile_p=tile_p,
+                                    interpret=True)
+        rows = (np.ones(q.shape[0], bool) if q_mask is None
+                else np.asarray(q_mask))
+        np.testing.assert_array_equal(np.asarray(d1)[rows],
+                                      np.asarray(d2)[rows])
+        np.testing.assert_array_equal(np.asarray(i1)[rows],
+                                      np.asarray(i2)[rows])
+        return d2, i2
+
+    def test_full_fill_matches_dense(self):
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.uniform(-30, 30, (300, 3)), jnp.float32)
+        p = jnp.asarray(rng.uniform(-30, 30, (3000, 3)), jnp.float32)
+        self._check(q, p)
+
+    def test_front_compacted_map(self):
+        """The production case: valid map rows at the front, a long masked
+        tail (here 10 of 16 tiles skippable)."""
+        rng = np.random.default_rng(5)
+        p_np = rng.uniform(-20, 20, (4096, 3)).astype(np.float32)
+        mask = np.zeros(4096, bool)
+        mask[:1500] = True
+        q = jnp.asarray(rng.uniform(-20, 20, (200, 3)), jnp.float32)
+        d, i = self._check(q, jnp.asarray(p_np), p_mask=jnp.asarray(mask))
+        assert np.all(mask[np.asarray(i)[np.isfinite(np.asarray(d))]])
+
+    def test_gapped_mask_still_exact(self):
+        """A violated compaction promise must only cost speed: valid rows
+        scattered with gaps, including one past the midpoint."""
+        rng = np.random.default_rng(6)
+        p_np = rng.uniform(-20, 20, (1024, 3)).astype(np.float32)
+        mask = np.asarray(rng.uniform(size=1024) > 0.7)
+        mask[900] = True  # force a late last-valid row
+        self._check(jnp.asarray(rng.uniform(-20, 20, (100, 3)), np.float32),
+                    jnp.asarray(p_np), p_mask=jnp.asarray(mask))
+
+    def test_empty_query_blocks_skipped(self):
+        """Blocks with no valid query return (+inf, 0); valid blocks match
+        the dense kernel exactly (the fusion window layout: valid segments
+        separated by whole empty blocks)."""
+        rng = np.random.default_rng(7)
+        q_np = rng.uniform(-10, 10, (512, 3)).astype(np.float32)
+        qm = np.zeros(512, bool)
+        qm[:100] = True   # block 0 partially valid
+        qm[256:300] = True  # block 2 partially valid; blocks 1,3 empty
+        p = jnp.asarray(rng.uniform(-10, 10, (700, 3)), jnp.float32)
+        d, i = self._check(jnp.asarray(q_np), p, q_mask=jnp.asarray(qm))
+        d, i = np.asarray(d), np.asarray(i)
+        empty = slice(128, 256)
+        assert np.all(~np.isfinite(d[empty]))
+        assert np.all(i[empty] == 0)
+
+    def test_empty_map(self):
+        q = jnp.zeros((4, 3), jnp.float32)
+        p = jnp.ones((512, 3), jnp.float32)
+        d, i = knn_pallas_counted(q, p, k=5, p_mask=jnp.zeros((512,), bool),
+                                  q_block=128, tile_p=256, interpret=True)
+        assert np.all(~np.isfinite(np.asarray(d)))
+        assert np.all(np.asarray(i) == 0)
