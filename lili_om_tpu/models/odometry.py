@@ -177,6 +177,10 @@ def _update_map_table(state: OdometryState, ws_ds, wm_ds, cfg: OdometryConfig):
     cnt = jnp.concatenate([state.map_cnt, wm_ds.astype(ws_ds.dtype),
                            -ev_mask.astype(ws_ds.dtype)])
     valid = jnp.concatenate([state.map_valid, wm_ds, ev_mask])
+    # NOTE: an occupancy-adaptive tiered variant exists
+    # (ops/voxel.py:merge_voxel_entries_tiered) but measured SLOWER here —
+    # lax.cond overhead exceeds the sort saving (docs/PERFORMANCE.md
+    # "Negative result: occupancy-tiered table merges")
     return merge_voxel_entries(cells, sums, cnt, valid, _table_cap(cfg))
 
 

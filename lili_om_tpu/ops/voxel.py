@@ -371,6 +371,101 @@ def merge_voxel_entries(cells, sums, cnt, valid, num_out: int,
     return (out_cells, out_sums, out_cnt, out_valid), (cells2, s2, c2, v2)
 
 
+@partial(jax.jit, static_argnames=("num_out", "table_rows", "tiers"))
+def merge_voxel_entries_tiered(cells, sums, cnt, valid, num_out: int,
+                               table_rows: int, tiers: tuple = (),
+                               second_sel=None, primary_sel=None):
+    """:func:`merge_voxel_entries` with OCCUPANCY-ADAPTIVE sort length.
+
+    The persistent tables are sized for their worst case (map cap + slack)
+    but spend most of a run far below it — the bench-measured odometry
+    table holds ~4k valid entries of 40 960 rows, yet every merge sorts the
+    full capacity. This wrapper slices the table to the smallest ``tier``
+    that PROVABLY fits and runs the sort at that length, falling back tier
+    by tier to the full merge via ``lax.cond`` — the device picks per call,
+    no host round-trip, monotonicity, or staleness involved.
+
+    NOT the production default: measured on one v5e, the cond overhead
+    exceeds the sort saving at these sizes (tiered 1.61 ms vs full
+    1.09 ms at 4k/40960 occupancy — the 49k-row variadic sort is only
+    ~1 ms on-chip, and TPU conditionals pay operand/result buffer copies
+    for the concatenated inputs). Kept tested, for much larger tables
+    (≥256k rows) where the sort dominates the fixed cond cost; see
+    docs/PERFORMANCE.md "Negative result: occupancy-tiered table merges".
+
+    Layout contract: rows ``[0:table_rows)`` are the table (compacted
+    segments from a previous merge — every valid row of a table with
+    ≤ tier in-cap segments lies below that tier), the rest are delta rows
+    (always included). A tier ``B`` is taken iff no valid table row is at
+    or past ``B`` AND ``n_valid(table[:B]) + n_valid(delta) ≤ B`` — a
+    conservative bound on the merged segment count, so the tiered merge
+    can never drop a voxel the full merge would keep.
+
+    EXACTNESS: when tier ``B`` fires, the sliced-away rows are all invalid
+    (contribute nothing) and the batch min corner — computed over valid
+    rows only — is unchanged, so keys, scramble order, and segment
+    enumeration match the full merge's; the full merge's rows
+    ``[B:num_out)`` are invalid zeros under the same bound, which is
+    exactly the padding the tiered branch emits. Sums can differ by fp
+    summation order within a segment (the unstable sort may permute
+    equal-key rows differently at different lengths); cells, counts, and
+    validity are exact. Mispredicted occupancy only skips tiers (perf),
+    never changes results.
+    """
+    del_rows = cells.shape[0] - table_rows
+    d_valid = jnp.sum(valid[table_rows:].astype(jnp.int32))
+
+    def sel_slice(sel, B):
+        if sel is None:
+            return None
+        return jnp.concatenate([sel[:B], sel[table_rows:]])
+
+    def pad_out(out, B):
+        if second_sel is None:
+            outs = (out,)
+        else:
+            outs = out
+        padded = []
+        for (c, s, n, v) in outs:
+            pad = num_out - B
+            padded.append((
+                jnp.concatenate([c, jnp.zeros((pad, 3), c.dtype)]),
+                jnp.concatenate([s, jnp.zeros((pad, s.shape[1]), s.dtype)]),
+                jnp.concatenate([n, jnp.zeros((pad,), n.dtype)]),
+                jnp.concatenate([v, jnp.zeros((pad,), bool)]),
+            ))
+        return padded[0] if second_sel is None else tuple(padded)
+
+    def tier_branch(B):
+        def run(_):
+            out = merge_voxel_entries(
+                jnp.concatenate([cells[:B], cells[table_rows:]]),
+                jnp.concatenate([sums[:B], sums[table_rows:]]),
+                jnp.concatenate([cnt[:B], cnt[table_rows:]]),
+                jnp.concatenate([valid[:B], valid[table_rows:]]),
+                B,
+                second_sel=sel_slice(second_sel, B),
+                primary_sel=sel_slice(primary_sel, B))
+            return pad_out(out, B)
+        return run
+
+    def full(_):
+        return merge_voxel_entries(cells, sums, cnt, valid, num_out,
+                                   second_sel=second_sel,
+                                   primary_sel=primary_sel)
+
+    # nest conds smallest-tier first; each predicate is a cheap mask count
+    chain = full
+    for B in sorted((b for b in tiers if b < num_out), reverse=True):
+        t_in_slice = jnp.sum(valid[:B].astype(jnp.int32))
+        t_beyond = jnp.any(valid[B:table_rows])
+        fits = (~t_beyond) & (t_in_slice + d_valid <= B)
+        chain = (lambda fits, this, nxt:
+                 lambda _: jax.lax.cond(fits, this, nxt, 0))(
+                     fits, tier_branch(B), chain)
+    return chain(0)
+
+
 def voxel_downsample_np(pts, leaf: float):
     """Host-side exact voxel-centroid downsample (numpy, unbounded extent).
 

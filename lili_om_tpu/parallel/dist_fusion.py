@@ -12,6 +12,13 @@ cross-chip traffic is one 45×45 matrix — independent of point counts.
 
 The same program runs on the virtual CPU mesh (tests) and a real slice; the
 dense window solve and IMU factors are replicated (they are tiny).
+
+STATUS: superseded as the production multi-chip path. This axis replicates
+the map on every chip, so it scales compute but not memory;
+``parallel/map_fusion.py`` (keyframe ring + local map sharded,
+``LiliOmSystem(mesh=…)``) is the production design — see docs/SCALING.md.
+Kept as the minimal GSPMD reference for the annotate-and-let-XLA-partition
+pattern, and as the fallback when the map fits every chip anyway.
 """
 from __future__ import annotations
 

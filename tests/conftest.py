@@ -17,3 +17,20 @@ import jax  # noqa: E402
 # jax_platforms; override it back so tests run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# --- XLA:CPU long-suite stability -----------------------------------------
+# Full single-process runs of the whole suite intermittently segfault inside
+# ``backend_compile_and_load`` after ~180 tests / thousands of CPU compiles
+# (jax/jaxlib 0.9.0; observed at different tests each run, always mid-
+# compile — an accumulation effect in the CPU client, not a specific test).
+# Dropping every compiled executable between modules keeps the live-
+# executable population small; module boundaries amortize the recompiles
+# (shared fixtures are module-scoped anyway).
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

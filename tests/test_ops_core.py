@@ -1,4 +1,5 @@
 """Tests for kNN, plane/line fitting, and voxel downsampling."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -247,3 +248,60 @@ def test_remove_close_points():
     pts = jnp.array([[0.05, 0, 0], [5.0, 0, 0], [jnp.nan, 0, 0]])
     m = voxel.remove_close_points(pts, jnp.ones(3, bool), 0.1)
     assert list(np.asarray(m)) == [False, True, False]
+
+
+class TestMergeVoxelEntriesTiered:
+    """Occupancy-adaptive merge must reproduce the full merge at every
+    occupancy (tier hit, tier miss with valid rows beyond the tier, and
+    full fallback); sums compare with fp tolerance (unstable-sort
+    summation order), cells/counts/validity exactly."""
+
+    def _make(self, occ, T=1024, D=256, seed=0):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        cells_t = np.zeros((T, 3), np.int32)
+        cells_t[:occ] = rng.integers(0, 30, (occ, 3))
+        valid_t = np.zeros(T, bool)
+        valid_t[:occ] = True
+        sums_t = rng.normal(size=(T, 4)).astype(np.float32) * valid_t[:, None]
+        cnt_t = (rng.integers(1, 5, T) * valid_t).astype(np.float32)
+        cells_d = rng.integers(0, 30, (D, 3)).astype(np.int32)
+        valid_d = rng.uniform(size=D) < 0.8
+        sums_d = rng.normal(size=(D, 4)).astype(np.float32) * valid_d[:, None]
+        cnt_d = (rng.integers(1, 3, D) * valid_d).astype(np.float32)
+        return (jnp.asarray(np.concatenate([cells_t, cells_d])),
+                jnp.asarray(np.concatenate([sums_t, sums_d])),
+                jnp.asarray(np.concatenate([cnt_t, cnt_d])),
+                jnp.asarray(np.concatenate([valid_t, valid_d])))
+
+    @pytest.mark.parametrize("occ", [0, 50, 300, 900])
+    def test_matches_full_merge(self, occ):
+        from lili_om_tpu.ops.voxel import (merge_voxel_entries,
+                                           merge_voxel_entries_tiered)
+        cells, sums, cnt, valid = self._make(occ)
+        T = 1024
+        rng = np.random.default_rng(1)
+        psel = jnp.asarray(rng.uniform(size=cells.shape[0]) < 0.7)
+        ssel = jnp.asarray(rng.uniform(size=cells.shape[0]) < 0.5)
+        ref = merge_voxel_entries(cells, sums, cnt, valid, T,
+                                  second_sel=ssel, primary_sel=psel)
+        out = merge_voxel_entries_tiered(cells, sums, cnt, valid, T, T,
+                                         tiers=(256, 512),
+                                         second_sel=ssel, primary_sel=psel)
+        for r4, o4 in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(r4[0]), np.asarray(o4[0]))
+            np.testing.assert_allclose(np.asarray(r4[1]), np.asarray(o4[1]),
+                                       rtol=2e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(r4[2]), np.asarray(o4[2]),
+                                       atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(r4[3]), np.asarray(o4[3]))
+
+    def test_no_selection_variant(self):
+        from lili_om_tpu.ops.voxel import (merge_voxel_entries,
+                                           merge_voxel_entries_tiered)
+        cells, sums, cnt, valid = self._make(120)
+        ref = merge_voxel_entries(cells, sums, cnt, valid, 1024)
+        out = merge_voxel_entries_tiered(cells, sums, cnt, valid, 1024, 1024,
+                                         tiers=(256,))
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+        np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(out[3]))
