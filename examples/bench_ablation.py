@@ -90,6 +90,7 @@ VARIANTS = {
     "base": {},
     "nofeat": {"prefeat": True},
     "fus_iter1": {"bcfg_mod": {"max_num_iter": 1}},
+    "fus_nolm": {"bcfg_mod": {"lm_lam0": 0.0}},
     "odo_gn1": {"ocfg_mod": {"gn_iters": 1}},
     "dispatch": {"extra_dispatch": 8},
 }

@@ -18,6 +18,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--frames", type=int, default=220)
+    ap.add_argument("--export-dir", default=None,
+                    help="write TUM trajectory + PCD/PLY map + overview PNG")
     args = ap.parse_args()
 
     import jax
@@ -106,6 +108,15 @@ def main():
     print(f"graph keyframe ATE RMSE: {np.sqrt((kf_err**2).mean()):.3f} m (max {kf_err.max():.3f})")
     print(f"throughput: {n / wall:.1f} scans/s wall ({wall:.1f}s total incl. sim+compile)")
     print("\nstage timing:\n" + sys_.metrics.pretty())
+
+    if args.export_dir:
+        from lili_om_tpu.utils.viz import export_run
+
+        paths = export_run(args.export_dir, sys_,
+                           est_t=np.asarray(sys_.trajectory),
+                           gt_t=np.asarray(gts))
+        for k_, v_ in paths.items():
+            print(f"exported {k_}: {v_}")
     return 0
 
 

@@ -56,7 +56,7 @@ from ..ops.preintegration import (
     sqrt_info,
 )
 from ..ops.voxel import merge_voxel_entries, voxel_downsample
-from ..solver.gn import solve_normal
+from ..solver.gn import solve_normal, solve_normal_lm
 from ..utils.math import quat_conj, quat_mul, quat_normalize, quat_rotate, unify_quaternion
 
 
@@ -101,6 +101,19 @@ class FusionConfig(NamedTuple):
     # (PriorFactor.h:13-25); (8,8,1,…) ROT (LiLi-OM-ROT PriorFactor.h)
     sb_weights: tuple = (15.0,) * 9
     damping: float = 1e-6
+    # Adaptive Levenberg-Marquardt damping for the window GN loop — the
+    # reference solves this problem with Ceres, whose DEFAULT trust-region
+    # strategy is LM (BackendFusion.cpp:984-992 uses stock Solver::Options),
+    # so fixed-λ GN was the deviation here, not the parity choice. Measured
+    # motivation: on bootstrap/violent-motion windows the fixed-λ steps
+    # GROW ~1.5× per iteration (oscillating overshoot) until the write-back
+    # gates discard the result; Marquardt scaling (λ·diag H, grown on step
+    # growth, decayed on contraction) turns those frames into converging
+    # solves. 0 = fixed damping (round-3 behavior).
+    lm_lam0: float = 1e-4  # initial relative λ (Ceres: 1e-4)
+    lm_up: float = 10.0  # λ multiplier when the step norm grows
+    lm_down: float = 0.5  # λ decay on contraction
+    lm_max: float = 1e2
     # "centered": covariance plane fit (f32-stable); "ref": the reference's
     # origin-dependent weighted A·n=−1 form (see models/odometry.py note)
     plane_fit: str = "centered"
@@ -793,26 +806,39 @@ def _finish(state: FusionState, mid: FusionMid, surf_batches, edge_batches,
     elif cfg.gn_tol > 0.0:
         # step-norm early exit (see FusionConfig.gn_tol): the 15 sequential
         # 45-dim assemble+Cholesky rounds are pure latency depth — converged
-        # windows exit after 2-4
+        # windows exit after 2-4. With lm_lam0 > 0 the damping adapts per
+        # iteration (see FusionConfig.lm_lam0 — Ceres' LM is the reference
+        # behavior): λ grows when the step norm grows (overshoot), decays
+        # on contraction.
+        adaptive = cfg.lm_lam0 > 0.0
+
         def cond(carry):
             i, step = carry[0], carry[1]
             return (i < cfg.max_num_iter) & (step > cfg.gn_tol)
 
         def body(carry):
-            i = carry[0]
-            ts, qs, vs, bas, bgs = carry[2:]
+            i, prev_step, lam = carry[0], carry[1], carry[2]
+            ts, qs, vs, bas, bgs = carry[3:]
             H, g = _assemble(ts, qs, vs, bas, bgs, preints, preint_Ws,
                              state.prior, state.sb_anchor_on, sb_anchor,
                              surf_batches, edge_batches, noise, cfg)
-            delta = solve_normal(H, -g, cfg.damping)
+            if adaptive:
+                delta = solve_normal_lm(H, -g, lam)
+            else:
+                delta = solve_normal(H, -g, cfg.damping)
+            step = jnp.linalg.norm(delta)
+            grew = step > prev_step
+            lam1 = jnp.clip(jnp.where(grew, lam * cfg.lm_up,
+                                      lam * cfg.lm_down),
+                            1e-8, cfg.lm_max)
             new = _retract_window(ts, qs, vs, bas, bgs, delta)
-            return (i + 1, jnp.linalg.norm(delta)) + tuple(new)
+            return (i + 1, step, lam1) + tuple(new)
 
         carry = jax.lax.while_loop(
             cond, body,
             (jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, ts.dtype),
-             ts, qs, vs, bas, bgs))
-        ts1, qs1, vs1, bas1, bgs1 = carry[2:]
+             jnp.asarray(cfg.lm_lam0, ts.dtype), ts, qs, vs, bas, bgs))
+        ts1, qs1, vs1, bas1, bgs1 = carry[3:]
     else:
         ts1, qs1, vs1, bas1, bgs1 = jax.lax.fori_loop(
             0, cfg.max_num_iter, gn_iter, (ts, qs, vs, bas, bgs))

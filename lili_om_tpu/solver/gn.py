@@ -49,6 +49,22 @@ def solve_normal(H: jnp.ndarray, b: jnp.ndarray, damping: jnp.ndarray | float = 
     return jnp.where(bad, jnp.zeros_like(delta), delta)
 
 
+def solve_normal_lm(H: jnp.ndarray, b: jnp.ndarray, lam_rel):
+    """Marquardt-scaled damped solve: (H + λ·diag(H)) δ = b.
+
+    Scale-aware damping (Ceres' LM form): λ multiplies each diagonal entry
+    instead of adding an absolute λ·I, so one λ works across blocks whose
+    curvatures differ by orders of magnitude (position vs bias rows).
+    Same NaN guard as :func:`solve_normal`."""
+    d = jnp.clip(jnp.diagonal(H), 1e-12, None)
+    Hd = H + jnp.asarray(lam_rel, H.dtype) * jnp.diag(d)
+    L = jnp.linalg.cholesky(Hd)
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    delta = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    bad = ~jnp.all(jnp.isfinite(delta))
+    return jnp.where(bad, jnp.zeros_like(delta), delta)
+
+
 def gn_update(J: jnp.ndarray, r: jnp.ndarray, damping: float = 1e-6,
               w: jnp.ndarray | None = None) -> jnp.ndarray:
     """One Gauss-Newton step δ = (JᵀJ)⁻¹·(−Jᵀr) from batched rows."""
