@@ -35,6 +35,8 @@ def main():
                     help="decode the raw scan stream on N parallel ingest "
                          "workers (runtime/ingest.py — the multi-host DCN "
                          "ingest split, SURVEY.md §2.3)")
+    ap.add_argument("--export-dir", default=None,
+                    help="write TUM trajectory + PCD/PLY map + overview PNG")
     args = ap.parse_args()
 
     import jax
@@ -159,6 +161,12 @@ def main():
     if args.map:
         n = sys_.export_map(args.map)
         print(f"map: {n} points -> {args.map}")
+    if args.export_dir:
+        from lili_om_tpu.utils.viz import export_run
+
+        est = np.asarray(sys_.trajectory) if sys_.trajectory else None
+        for k, v in export_run(args.export_dir, sys_, est_t=est).items():
+            print(f"exported {k}: {v}")
     return 0
 
 

@@ -134,9 +134,15 @@ class TestVelodyneBag:
                                   [0, 0, 9.8])))
         p = str(tmp_path / "utbm.bag")
         _write_bag(p, msgs)
+        p_exp = str(tmp_path / "exp")
         r = subprocess.run(
             [sys.executable, "examples/run_bag.py", p, "--preset", "utbm_rot",
-             "--cpu", "--max-scans", "3"],
+             "--cpu", "--max-scans", "3", "--export-dir", p_exp],
             capture_output=True, text=True, timeout=540, cwd=".")
         assert r.returncode == 0, r.stderr[-2000:]
         assert "3 scans" in r.stdout, r.stdout
+        # the run-export bundle (TUM + PCD + PLY + overview PNG) was written
+        import os
+        for f in ("trajectory_kf.tum", "global_map.pcd", "global_map.ply",
+                  "overview.png"):
+            assert os.path.exists(os.path.join(p_exp, f)), f
