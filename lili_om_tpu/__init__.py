@@ -23,3 +23,23 @@ KIT-ISAS/lili-om (tightly-coupled keyframe-based LiDAR-inertial SLAM):
 """
 
 __version__ = "0.1.0"
+
+_TOP_LEVEL = {
+    "LiliOmSystem": ("lili_om_tpu.models.system", "LiliOmSystem"),
+    "PipelineRunner": ("lili_om_tpu.runtime.pipeline", "PipelineRunner"),
+    "load_config": ("lili_om_tpu.utils.config", "load_config"),
+    "export_run": ("lili_om_tpu.utils.viz", "export_run"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level convenience exports (`from lili_om_tpu import
+    LiliOmSystem, load_config`) — lazy so `import lili_om_tpu` stays cheap
+    and never triggers JAX backend initialization."""
+    try:
+        mod, attr = _TOP_LEVEL[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod), attr)
