@@ -92,6 +92,28 @@ def hot_path_accounting(ocfg, bcfg, n_odo_rounds: int, pallas_knn: bool):
     return ks
 
 
+def effective_knn_accounting(ks, counts, pallas_knn: bool,
+                             q_block: int = 256, tile_p: int = 4096,
+                             k: int = 5):
+    """Replace the kNN rows of ``ks`` with fill-dependent figures.
+
+    ``counts[name] = (q_valid, p_valid, q_cap, p_cap, rounds)``. The counted
+    kernel (ops/knn_pallas.py:knn_pallas_counted) walks only
+    ceil(p_valid/tile_p) map tiles and skips all-invalid query blocks, so
+    effective work rounds the valid counts up to those granularities (and
+    never exceeds capacity). Fit/GN/feature programs still run at capacity
+    shapes — only the kNN rows change."""
+    eff = dict(ks)
+    for name, (qv, pv, qcap, pcap, rounds) in counts.items():
+        q_eff = min(-(-qv // q_block) * q_block, qcap)
+        p_eff = min(-(-pv // tile_p) * tile_p, pcap)
+        f = rounds * 6 * q_eff * p_eff
+        b = (rounds * 4 * (3 * q_eff + 3 * p_eff + 2 * k * q_eff)
+             if pallas_knn else rounds * 4 * q_eff * p_eff * (k + 2))
+        eff[name] = (f, b, ks[name][2])
+    return eff
+
+
 def main():
     cfg = load_config("fr_iosb_rot")
     fcfg = cfg.spin_features  # ds_rate=4, surf_cap 8192
@@ -159,15 +181,62 @@ def main():
     bytes_per_scan = sum(v[1] for v in ks.values())
     mfu = flops_per_scan * scans_per_s / PEAK_F32_FLOPS
     hbm_util = bytes_per_scan * scans_per_s / PEAK_HBM_BYTES
+
+    # Effective (fill-dependent) kNN accounting: the production counted
+    # kernel (ops/knn_pallas.py:knn_pallas_counted) walks only the tiles
+    # holding valid map entries and skips all-invalid query blocks, so its
+    # work scales with the FILL at these granularities (q_block 256,
+    # tile_p 4096), not the static capacities the table above assumes.
+    # Measured at the final benchmark frame by re-running the (cached)
+    # prepare programs and counting mask bits — fit/GN/feature programs
+    # still run at capacity shapes, so only the kNN rows change.
+    fills, eff = {}, dict(ks)
+    try:
+        from lili_om_tpu.models.fusion import _fusion_pre
+        from lili_om_tpu.models.odometry import _odo_prepare
+        img, valid, rel, dts, accs, gyrs, vm = scans[N_WARM + N_TIMED - 1]
+        fc = extract_features_spin(img, valid, rel, fcfg)
+        _, _, _, sq_mask, _, omap_mask = _odo_prepare(
+            ostate, fc.surf_pts, fc.surf_mask, ocfg)
+        mid, maps, _, _ = _fusion_pre(
+            fstate, fc.surf_pts, fc.surf_mask,
+            jnp.zeros_like(fc.surf_pts[:, 0]), fc.edge_pts, fc.edge_mask,
+            dts, accs, gyrs, vm, bcfg, noise)
+        counts = {
+            "odometry_knn": (int(np.asarray(sq_mask.sum())),
+                             int(np.asarray(omap_mask.sum())),
+                             ocfg.query_cap, ocfg.map_cap,
+                             ocfg.scan_match_cnt),
+            "fusion_surf_knn": (int(np.asarray(mid.win_surf_mask.sum())),
+                                int(np.asarray(maps[2].sum())),
+                                bcfg.window * bcfg.kf_surf_cap,
+                                bcfg.map_surf_cap, 1),
+            "fusion_edge_knn": (int(np.asarray(mid.win_edge_mask.sum())),
+                                int(np.asarray(maps[4].sum())),
+                                bcfg.window * bcfg.kf_edge_cap,
+                                bcfg.map_edge_cap, 1),
+        }
+        fills = {n: {"q": c[0], "q_cap": c[2], "p": c[1], "p_cap": c[3]}
+                 for n, c in counts.items()}
+        eff = effective_knn_accounting(ks, counts, pallas_knn=pallas)
+    except Exception as e:  # accounting must never take the bench down
+        fills = {"error": repr(e)}
+    flops_eff = sum(v[0] for v in eff.values())
+    bytes_eff = sum(v[1] for v in eff.values())
+
     print(json.dumps({
         "metric": "full_pipeline_scans_per_sec_parity64",
         "value": round(scans_per_s, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_s / 10.0, 2),
+        "ms_per_scan": round(1e3 / scans_per_s, 2),
         "config": "fr_iosb_rot 64x1800, odo 4096x32768, fusion W3xM50 iter15",
         "knn_backend": "pallas_fused" if pallas else "xla_tiled",
         "hot_flops_per_scan": round(flops_per_scan / 1e9, 3),
         "hot_bytes_per_scan_gb": round(bytes_per_scan / 1e9, 3),
+        "hot_flops_per_scan_effective": round(flops_eff / 1e9, 3),
+        "hot_bytes_per_scan_effective_gb": round(bytes_eff / 1e9, 3),
+        "fills": fills,
         "mfu": round(mfu, 5),
         "hbm_utilization": round(hbm_util, 3),
         "bound": ("vpu min-extraction + voxel sorts (kNN tiles stay in VMEM)"

@@ -43,6 +43,14 @@ def run_preset(name: str, frames: int, dtype, tum_dir=None):
     PERIOD = cfg.scan_period
     rings = {"fr_iosb_rot": 64, "urban_hk_rot": 32, "utbm_rot": 32}.get(name, 16)
 
+    # Livox internal-IMU degraded mode: feed the harness IMU the way the
+    # sensor reports it (accel in g) and run it through the
+    # InternalImuUnitConverter path — g→m/s² rescale + gravity-aligned
+    # initial orientation (io/livox.py:convert_internal_imu, reference
+    # scripts/InternalImuUnitConverter.py:30-58) — so the degraded mode is
+    # measured end-to-end, not just unit-tested.
+    internal_imu = name == "fr_iosb_internal_imu"
+
     sys_ = LiliOmSystem(
         odo_cfg=cfg.odometry, fusion_cfg=cfg.fusion, feat_cfg=cfg.spin_features,
         livox_cfg=cfg.livox_features, lc_cfg=cfg.loop_closure, noise=cfg.imu_noise,
@@ -57,7 +65,19 @@ def run_preset(name: str, frames: int, dtype, tum_dir=None):
     sys_.lc_cfg.search_radius = max(sys_.lc_cfg.search_radius, 5.0)
 
     imu = simulate_imu(traj, 0.0, frames * PERIOD + PERIOD, rate=200.0)
-    sys_.push_imu(np.asarray(imu.stamps), np.asarray(imu.accs), np.asarray(imu.gyrs))
+    if internal_imu:
+        from lili_om_tpu.io.livox import convert_internal_imu
+
+        # the internal IMU reports accel in g — rescale the sim stream the
+        # way the sensor would emit it, then convert back through the
+        # production path and gravity-align the first orientation
+        accs, gyrs, q0 = convert_internal_imu(
+            np.asarray(imu.accs) / 9.8, np.asarray(imu.gyrs))
+        sys_.push_imu(np.asarray(imu.stamps), accs, gyrs)
+        sys_.set_initial_orientation(q0)
+    else:
+        sys_.push_imu(np.asarray(imu.stamps), np.asarray(imu.accs),
+                      np.asarray(imu.gyrs))
     t0w, q0w = pose_at(traj, 0.0)
 
     livox = cfg.variant == "livox"

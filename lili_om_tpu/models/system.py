@@ -263,6 +263,9 @@ class LiliOmSystem:
         # (N,3) global map every ``map_publish_period`` seconds of scan time
         self.map_callback = None
         self.map_publish_period = 50.0
+        # keyframe stride of the assembled map (backend_fusion/
+        # mapping_interval — 2 in the shipped yamls, BackendFusion.cpp:2472)
+        self.mapping_interval = 2
         self._last_map_pub = None
 
     # ------------------------------------------------------------------
@@ -479,7 +482,8 @@ class LiliOmSystem:
             return
         if stamp - self._last_map_pub >= self.map_publish_period:
             self._last_map_pub = stamp
-            self.map_callback(self.build_global_map(interval=2))
+            self.map_callback(self.build_global_map(
+                interval=self.mapping_interval))
 
     def process_scan_livox(self, pts, line, ratio, refl, valid, stamp: float,
                            defer_backend: bool = False):
