@@ -120,9 +120,15 @@ def main():
            lambda: K.knn(pw, map_pts, k=5, p_mask=map_mask),
            sync=lambda o: np.asarray(o[0][0]))
     if jax.default_backend() == "tpu":
-        from lili_om_tpu.ops.knn_pallas import knn_pallas
+        from lili_om_tpu.ops.knn_pallas import knn_pallas, knn_pallas_counted
         timeit("odo knn 4096x32768 Pallas",
                lambda: knn_pallas(pw, map_pts, k=5, p_mask=map_mask),
+               sync=lambda o: np.asarray(o[0][0]))
+        # the production default when masks are available: work scales
+        # with the fill, not the capacities
+        timeit("odo knn Pallas counted (prod)",
+               lambda: knn_pallas_counted(pw, map_pts, k=5, p_mask=map_mask,
+                                          q_mask=scan_m),
                sync=lambda o: np.asarray(o[0][0]))
     d2, idx = K.knn(pw, map_pts, k=5, p_mask=map_mask)
     timeit("odo round tail (fit+GN)",
@@ -163,12 +169,20 @@ def main():
            lambda: K.knn(pw_e, map_edge, k=5, p_mask=map_em),
            sync=lambda o: np.asarray(o[0][0]))
     if jax.default_backend() == "tpu":
-        from lili_om_tpu.ops.knn_pallas import knn_pallas
+        from lili_om_tpu.ops.knn_pallas import knn_pallas, knn_pallas_counted
         timeit("fusion surf knn Pallas",
                lambda: knn_pallas(pw_s, map_surf, k=5, p_mask=map_sm),
                sync=lambda o: np.asarray(o[0][0]))
         timeit("fusion edge knn Pallas",
                lambda: knn_pallas(pw_e, map_edge, k=5, p_mask=map_em),
+               sync=lambda o: np.asarray(o[0][0]))
+        timeit("fusion surf knn counted (prod)",
+               lambda: knn_pallas_counted(pw_s, map_surf, k=5, p_mask=map_sm,
+                                          q_mask=mid.win_surf_mask.reshape(-1)),
+               sync=lambda o: np.asarray(o[0][0]))
+        timeit("fusion edge knn counted (prod)",
+               lambda: knn_pallas_counted(pw_e, map_edge, k=5, p_mask=map_em,
+                                          q_mask=mid.win_edge_mask.reshape(-1)),
                sync=lambda o: np.asarray(o[0][0]))
     d2s, idxs = K.knn(pw_s, map_surf, k=5, p_mask=map_sm)
     d2e, idxe = K.knn(pw_e, map_edge, k=5, p_mask=map_em)
