@@ -102,14 +102,26 @@ def effective_knn_accounting(ks, counts, pallas_knn: bool,
     ceil(p_valid/tile_p) map tiles and skips all-invalid query blocks, so
     effective work rounds the valid counts up to those granularities (and
     never exceeds capacity). Fit/GN/feature programs still run at capacity
-    shapes — only the kNN rows change."""
+    shapes — only the kNN rows change.
+
+    Assumes FRONT-COMPACTED masks: p_eff rounds the popcount up, but the
+    counted kernel walks tiles up to the LAST valid row, so a sparse
+    non-compacted table would make these figures an underestimate. The
+    production voxel tables emit valid-first (ops/voxel.py), so the
+    assumption holds for everything measured here.
+
+    Only the Pallas counted kernel has fill-dependent work — the XLA tiled
+    fallback computes the full capacity-shaped Q×P distance tile regardless
+    of fill, so when ``pallas_knn`` is False the capacity figures are
+    returned unchanged."""
+    if not pallas_knn:
+        return dict(ks)
     eff = dict(ks)
     for name, (qv, pv, qcap, pcap, rounds) in counts.items():
         q_eff = min(-(-qv // q_block) * q_block, qcap)
         p_eff = min(-(-pv // tile_p) * tile_p, pcap)
         f = rounds * 6 * q_eff * p_eff
-        b = (rounds * 4 * (3 * q_eff + 3 * p_eff + 2 * k * q_eff)
-             if pallas_knn else rounds * 4 * q_eff * p_eff * (k + 2))
+        b = rounds * 4 * (3 * q_eff + 3 * p_eff + 2 * k * q_eff)
         eff[name] = (f, b, ks[name][2])
     return eff
 
@@ -168,13 +180,35 @@ def main():
         ostate, fstate, fout = frame(ostate, fstate, *scans[k])
     np.asarray(fout.t_latest)  # real sync (block_until_ready is a tunnel no-op)
 
-    t0 = time.perf_counter()
-    for k in range(N_WARM, N_WARM + N_TIMED):
-        ostate, fstate, fout = frame(ostate, fstate, *scans[k])
-    np.asarray(fout.t_latest)  # host sync
-    dt = time.perf_counter() - t0
+    # Variance-hardened timing (the tunnel's RTT and per-session windows
+    # swing reps ±50 %, CLAUDE.md): per-scan time is the DIFFERENCE of a
+    # short and a long block — each block carries exactly one host sync, so
+    # the fixed RTT + sync overhead cancels; best-of-R pairs rejects the
+    # slow tunnel windows. State persists across blocks (the sim scans
+    # cycle; cost is shape-dependent, and the map fill is saturated after
+    # warmup, so re-visiting frames does not change the measured work).
+    timed = scans[N_WARM:]
 
-    scans_per_s = N_TIMED / dt
+    def run_block(ostate, fstate, n):
+        t0 = time.perf_counter()
+        for k in range(n):
+            ostate, fstate, fout = frame(ostate, fstate, *timed[k % N_TIMED])
+        np.asarray(fout.t_latest)  # host sync (one per block)
+        return time.perf_counter() - t0, ostate, fstate
+
+    N_LONG = 3 * N_TIMED
+    best = np.inf
+    for _ in range(2):
+        t_short, ostate, fstate = run_block(ostate, fstate, N_TIMED)
+        t_long, ostate, fstate = run_block(ostate, fstate, N_LONG)
+        per_scan = (t_long - t_short) / (N_LONG - N_TIMED)
+        if 0 < per_scan < best:
+            best = per_scan
+    if not np.isfinite(best):  # pathological timing window — fall back
+        t_long, ostate, fstate = run_block(ostate, fstate, N_LONG)
+        best = t_long / N_LONG
+
+    scans_per_s = 1.0 / best
     pallas = split  # knn_auto dispatches Pallas on top-level TPU calls
     ks = hot_path_accounting(ocfg, bcfg, ocfg.scan_match_cnt, pallas_knn=pallas)
     flops_per_scan = sum(v[0] for v in ks.values())
@@ -187,9 +221,13 @@ def main():
     # holding valid map entries and skips all-invalid query blocks, so its
     # work scales with the FILL at these granularities (q_block 256,
     # tile_p 4096), not the static capacities the table above assumes.
-    # Measured at the final benchmark frame by re-running the (cached)
-    # prepare programs and counting mask bits — fit/GN/feature programs
-    # still run at capacity shapes, so only the kNN rows change.
+    # Measured by re-running the (cached) prepare programs on the POST-RUN
+    # state — i.e. the fills a hypothetical next frame would see (the map
+    # fill is saturated by then, so it differs from the last timed frame by
+    # at most one keyframe's worth of centroids). Fit/GN/feature programs
+    # still run at capacity shapes, so only the kNN rows change; on the
+    # XLA fallback backend the rows keep their capacity figures (see
+    # effective_knn_accounting).
     fills, eff = {}, dict(ks)
     try:
         from lili_om_tpu.models.fusion import _fusion_pre

@@ -56,6 +56,7 @@ def run_preset(name: str, frames: int, dtype, tum_dir=None):
         livox_cfg=cfg.livox_features, lc_cfg=cfg.loop_closure, noise=cfg.imu_noise,
         dtype=dtype)
     sys_.deskew_translation = True
+    sys_.mapping_interval = cfg.mapping_interval  # yaml backend_fusion/mapping_interval
     # golden campus loop: walking-speed circle closing inside the run
     world = make_room_world()
     period_s = max((frames - 30) * PERIOD, 10.0)

@@ -67,6 +67,7 @@ def main():
         dtype=jnp.float32,
     )
     sys_.if_to_deskew = cfg.if_to_deskew  # yaml lidar_odometry/if_to_deskew
+    sys_.mapping_interval = cfg.mapping_interval  # yaml backend_fusion/mapping_interval
     # ingest, backend fusion, and loop closure overlap on the runner's
     # workers (the reference's 4-process topology + 1 Hz loop thread);
     # drop_when_full=False — offline replay must not drop scans

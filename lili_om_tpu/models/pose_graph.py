@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..factors.lidar import relative_pose_residual
 from ..solver.gn import solve_normal
@@ -370,12 +371,19 @@ def block_tridiag_solve(D, B, rhs):
     return xs
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "tol"))
 def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
-                         prior_weight: float = 1e4) -> PoseGraph:
+                         prior_weight: float = 1e4, tol: float = 0.0) -> PoseGraph:
     """GN over all node tangents with the linear-time chain+Woodbury solve.
     Same problem as :func:`optimize_graph` (equivalence-tested); use this for
-    any graph past a few hundred nodes."""
+    any graph past a few hundred nodes.
+
+    ``tol``: step-norm early exit — stop once the largest per-node tangent
+    step drops below ``tol`` (GTSAM's iSAM2 gets its ms-scale updates from
+    incrementality + wildfire thresholds, BackendFusion.cpp:2625-2628; a
+    batch re-solve started from the previous optimum converges in 1-2
+    iterations, so the fixed-iteration loop wastes ~80 % of its work).
+    0 keeps the fixed ``n_iters`` schedule (bit-stable with older rounds)."""
     N = g.t.shape[0]
     L = g.loop_i.shape[0]
     dtype = g.t.dtype
@@ -432,7 +440,129 @@ def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
 
         t = t + x[:, :3]
         q = quat_normalize(quat_mul(q, exp_so3(x[:, 3:6])))
-        return (t, q)
+        step = jnp.max(jnp.linalg.norm(x, axis=-1))
+        return t, q, step
 
-    t, q = jax.lax.fori_loop(0, n_iters, gn_iter, (g.t, g.q))
+    if tol > 0.0:
+        def cond(c):
+            return (c[0] < n_iters) & (c[1] > tol)
+
+        def body(c):
+            t, q, step = gn_iter(None, (c[2], c[3]))
+            return (c[0] + 1, step, t, q)
+
+        c0 = (jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype), g.t, g.q)
+        _, _, t, q = jax.lax.while_loop(cond, body, c0)
+    else:
+        t, q = jax.lax.fori_loop(
+            0, n_iters, lambda i, c: gn_iter(i, c)[:2], (g.t, g.q))
     return g._replace(t=t, q=q)
+
+
+# ---------------------------------------------------------------------------
+# Affected-suffix incremental solve — the iSAM2-parity fast path
+# ---------------------------------------------------------------------------
+#
+# iSAM2's per-closure cost is a ms-scale incremental update because only the
+# cliques between the loop's endpoints and the root are re-eliminated
+# (BackendFusion.cpp:2602-2628). The batch equivalent: every active loop
+# factor lives in the node suffix [base+1, n) where base+1 is the earliest
+# endpoint of any VALID loop factor; the prefix [0, base] is a pure anchored
+# chain whose factors are satisfied at the previous optimum, so its gradient
+# is zero and a re-solve cannot move it (up to the anchored-chain stiffness —
+# the same approximation iSAM2's fluid relinearization makes). We therefore
+# extract the suffix as its own PoseGraph (node 0 = base, held by the prior
+# anchor at its current pose — standing in for the base-1→base chain factor),
+# solve it with warm start + early exit, and splice the result back. Cost:
+# O(suffix · iters-to-converge) instead of O(N · 10).
+
+
+def affected_base(loop_pairs) -> int:
+    """Anchor node index for the suffix re-solve: one before the earliest
+    endpoint of any active loop factor (VERDICT r4 task 1). -1 when there are
+    no loop factors (nothing to solve)."""
+    if not loop_pairs:
+        return -1
+    return max(0, min(min(i, j) for i, j in loop_pairs) - 1)
+
+
+def _pow2_at_least(x: int, floor: int = 64) -> int:
+    c = floor
+    while c < x:
+        c *= 2
+    return c
+
+
+def extract_suffix(g: PoseGraph, base: int, n: int) -> PoseGraph:
+    """Host-side: subgraph over nodes [base, n) with indices remapped by
+    −base. Capacities round to powers of two (bounded recompile buckets of
+    the jitted solver). All valid loop endpoints must be ≥ base (guaranteed
+    when ``base`` comes from :func:`affected_base`)."""
+    length = n - base
+    cap = _pow2_at_least(length)
+    n_loops = int(g.n_loops)
+    lcap = _pow2_at_least(max(n_loops, 1), floor=8)
+    sub = init_graph(cap, lcap, dtype=g.t.dtype)
+    t = np.asarray(g.t[base:n])
+    q = np.asarray(g.q[base:n])
+    nv = np.asarray(g.node_valid[base:n])
+    rt = np.asarray(g.rel_t[base:n])
+    rq = np.asarray(g.rel_q[base:n])
+    rv = np.asarray(g.rel_valid[base:n])
+    rw = np.asarray(g.rel_weight[base:n])
+    li = np.asarray(g.loop_i[:n_loops]) - base
+    lj = np.asarray(g.loop_j[:n_loops]) - base
+    lv = np.asarray(g.loop_valid[:n_loops])
+    if n_loops and lv.any():
+        assert int(min(li[lv].min(), lj[lv].min())) >= 0, \
+            "suffix base must precede every active loop endpoint"
+    new = {k: np.asarray(getattr(sub, k)).copy()
+           for k in ("t", "q", "node_valid", "rel_t", "rel_q", "rel_valid",
+                     "rel_weight", "loop_i", "loop_j", "loop_t", "loop_q",
+                     "loop_valid", "loop_weight")}
+    new["t"][:length] = t
+    new["q"][:length] = q
+    new["node_valid"][:length] = nv
+    new["rel_t"][:length] = rt
+    new["rel_q"][:length] = rq
+    new["rel_valid"][:length] = rv
+    new["rel_valid"][length - 1:] = False  # no chain factor past the end
+    new["rel_weight"][:length] = rw
+    if n_loops:
+        new["loop_i"][:n_loops] = np.maximum(li, 0)
+        new["loop_j"][:n_loops] = np.maximum(lj, 0)
+        new["loop_t"][:n_loops] = np.asarray(g.loop_t[:n_loops])
+        new["loop_q"][:n_loops] = np.asarray(g.loop_q[:n_loops])
+        new["loop_valid"][:n_loops] = lv
+        new["loop_weight"][:n_loops] = np.asarray(g.loop_weight[:n_loops])
+    dtype = g.t.dtype
+    return sub._replace(
+        n_nodes=jnp.asarray(length, jnp.int32),
+        n_loops=jnp.asarray(n_loops, jnp.int32),
+        **{k: jnp.asarray(v, dtype) if v.dtype.kind == "f" else jnp.asarray(v)
+           for k, v in new.items()})
+
+
+def solve_graph_incremental(g: PoseGraph, n: int, loop_pairs,
+                            n_iters: int = 10, tol: float = 1e-3,
+                            damping: float = 1e-6):
+    """Incremental-fast global solve: suffix-restricted + early-exit GN.
+
+    Returns host numpy ``(t, q)`` of shape (n, 3)/(n, 4) — the corrected
+    poses for nodes [0, n), prefix passed through unchanged. Pure function
+    of the snapshot (safe to run off-lock, system.py phase 4).
+    """
+    base = affected_base(loop_pairs)
+    if base < 0:  # no loop factors — chain is already at its optimum
+        return np.asarray(g.t[:n]), np.asarray(g.q[:n])
+    sub = extract_suffix(g, base, n)
+    # a stiffer anchor than the full-graph prior: the suffix anchor stands
+    # in for the entire (rigid, solved) prefix, not just a soft start node
+    solved = optimize_graph_chain(sub, n_iters=n_iters, tol=tol,
+                                  damping=damping, prior_weight=1e6)
+    length = n - base
+    t = np.asarray(g.t[:n]).copy()
+    q = np.asarray(g.q[:n]).copy()
+    t[base:] = np.asarray(solved.t[:length])
+    q[base:] = np.asarray(solved.q[:length])
+    return t, q

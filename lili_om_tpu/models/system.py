@@ -24,7 +24,8 @@ from ..models.fusion import (FusionConfig, fusion_step, fusion_step_split,
 from ..models.odometry import (OdometryConfig, init_state as init_odo_state,
                                odometry_step, odometry_step_split)
 from ..models.pose_graph import (add_loop, add_node, ensure_capacity,
-                                 init_graph, optimize_graph_chain, set_loop)
+                                 init_graph, optimize_graph_chain, set_loop,
+                                 solve_graph_incremental)
 from ..ops.features_livox import (
     LivoxFeatureConfig,
     bin_livox_image,
@@ -108,6 +109,16 @@ class LoopClosureConfig:
     # a symmetric wall), which a fitness score cannot catch. None = auto
     # (2·search_radius); explicit 0.0 disables the gate.
     max_correction: float | None = None
+    # global-graph solve budget (iSAM2 parity, BackendFusion.cpp:2625-2628:
+    # the reference's per-closure cost is a ms-scale incremental update):
+    # max GN iterations + step-norm early exit (warm-started re-solves
+    # converge in 1-2 iterations) + affected-suffix restriction (only nodes
+    # past the earliest active loop endpoint can move — see
+    # pose_graph.py:solve_graph_incremental). graph_tol=0 restores the
+    # fixed-iteration schedule; graph_suffix=False the full-graph solve.
+    graph_iters: int = 10
+    graph_tol: float = 1e-3
+    graph_suffix: bool = True
 
 
 class LivoxKeyframePayload(NamedTuple):
@@ -264,7 +275,10 @@ class LiliOmSystem:
         self.map_callback = None
         self.map_publish_period = 50.0
         # keyframe stride of the assembled map (backend_fusion/
-        # mapping_interval — 2 in the shipped yamls, BackendFusion.cpp:2472)
+        # mapping_interval, BackendFusion.cpp:2472 — per-dataset: 2 in the
+        # ROT fr_iosb yaml:31, 7 in the Livox one:30; the presets carry the
+        # per-yaml value on SystemConfig.mapping_interval and the example
+        # runners wire it here)
         self.mapping_interval = 2
         self._last_map_pub = None
 
@@ -822,45 +836,55 @@ class LiliOmSystem:
         lc = self.lc_cfg
         held = (lambda: lock) if lock is not None else contextlib.nullcontext
 
-        # ---- phase 1 (locked): snapshot + candidate detection + submaps ----
+        # ---- phase 1a (locked, O(1)): snapshot refs only. The graph arrays
+        # are immutable jax values and the keyframe archives are append-only
+        # (fully populated for indices < n before kf_stamps grows under the
+        # backend's lock), so candidate detection AND the submap
+        # materialize/downsample — device→host transfers + host voxel grids
+        # over ~50 keyframe clouds — run off-lock on the snapshot (VERDICT
+        # r4 task 5; previously the submap build held the mutex). ----
         with held():
-            n = len(self.kf_stamps)
-            W = self.fusion_cfg.window
-            mature = n - W  # latest_frame_idx_loop (:2475)
-            if not lc.enabled or mature < 1:
-                return False
-            stamps = np.asarray(self.kf_stamps)
-            newest_stamp = float(stamps[-1])  # time_new_odom
-            # re-fire gate (ROT :2259): previous closure's MATURE stamp
-            if abs(self.last_loop_stamp - newest_stamp) < lc.debounce:
-                return False
-            # graph poses are the authoritative (corrected) keyframe poses
-            g_t = np.asarray(self.graph.t[:n])
-            g_q = np.asarray(self.graph.q[:n])
-            d = np.linalg.norm(g_t - g_t[mature], axis=1)
-            dt_all = np.abs(newest_stamp - stamps)
-            in_r = np.where(d < lc.search_radius)[0]
-            order = in_r[np.argsort(d[in_r])]  # radiusSearch: ascending dist
-            old_enough = order[dt_all[order] > lc.time_thres]
-            if len(old_enough):
-                his = int(old_enough[0])  # nearest sufficiently-old (:2443)
-            elif lc.local_time_thres is not None:
-                band = order[(dt_all[order] > lc.local_time_thres)
-                             & (dt_all[order] < lc.time_thres)]
-                if len(band) == 0:
-                    self.lc_rejects["no_candidate"] += 1
+            with self.metrics.stage("lc_inlock"):
+                n = len(self.kf_stamps)
+                W = self.fusion_cfg.window
+                mature = n - W  # latest_frame_idx_loop (:2475)
+                if not lc.enabled or mature < 1:
                     return False
-                his = int(band[np.argmax(dt_all[band])])  # max Δt (:2457-2463)
-            else:
+                stamps = np.asarray(self.kf_stamps)
+                newest_stamp = float(stamps[-1])  # time_new_odom
+                # re-fire gate (ROT :2259): previous closure's MATURE stamp
+                if abs(self.last_loop_stamp - newest_stamp) < lc.debounce:
+                    return False
+                graph_snap = self.graph
+
+        # ---- phase 1b (unlocked): candidate detection + submap build ----
+        # graph poses are the authoritative (corrected) keyframe poses
+        g_t = np.asarray(graph_snap.t[:n])
+        g_q = np.asarray(graph_snap.q[:n])
+        d = np.linalg.norm(g_t - g_t[mature], axis=1)
+        dt_all = np.abs(newest_stamp - stamps)
+        in_r = np.where(d < lc.search_radius)[0]
+        order = in_r[np.argsort(d[in_r])]  # radiusSearch: ascending dist
+        old_enough = order[dt_all[order] > lc.time_thres]
+        if len(old_enough):
+            his = int(old_enough[0])  # nearest sufficiently-old (:2443)
+        elif lc.local_time_thres is not None:
+            band = order[(dt_all[order] > lc.local_time_thres)
+                         & (dt_all[order] < lc.time_thres)]
+            if len(band) == 0:
                 self.lc_rejects["no_candidate"] += 1
                 return False
+            his = int(band[np.argmax(dt_all[band])])  # max Δt (:2457-2463)
+        else:
+            self.lc_rejects["no_candidate"] += 1
+            return False
 
-            # latest submap: [mature−latest_width+1, mature] (:2477, ROT :2266)
-            src = self._submap(mature - lc.latest_width + 1, mature, g_t, g_q)
-            # history: [his−map_width, his+map_width] capped at the mature
-            # index (:2502-2505 skips j > latest_frame_idx_loop)
-            tgt = self._submap(his - lc.map_width,
-                               min(his + lc.map_width, mature), g_t, g_q)
+        # latest submap: [mature−latest_width+1, mature] (:2477, ROT :2266)
+        src = self._submap(mature - lc.latest_width + 1, mature, g_t, g_q)
+        # history: [his−map_width, his+map_width] capped at the mature
+        # index (:2502-2505 skips j > latest_frame_idx_loop)
+        tgt = self._submap(his - lc.map_width,
+                           min(his + lc.map_width, mature), g_t, g_q)
 
         # ---- phase 2 (unlocked): ICP alignment on the snapshots ----
         if src[0].shape[0] == 0 or tgt[0].shape[0] == 0 \
@@ -901,24 +925,34 @@ class LiliOmSystem:
 
         # ---- phase 3 (locked): record the factor, snapshot the graph ----
         with held():
-            n0 = len(self.kf_stamps)
-            self._record_loop(mature, his, rel_t, rel_q, res.fitness)
-            snapshot = self.graph
+            with self.metrics.stage("lc_inlock"):
+                n0 = len(self.kf_stamps)
+                self._record_loop(mature, his, rel_t, rel_q, res.fitness)
+                snapshot = self.graph
+                pairs = list(self._loop_pairs)
 
-        # ---- phase 4 (unlocked): linear-time chain+Woodbury solve — the
-        # dense (6N)² program would not survive a full-length sequence (see
-        # pose_graph.py). Pure function of the snapshot; the backend keeps
-        # appending nodes meanwhile. ----
+        # ---- phase 4 (unlocked): incremental-fast solve — affected-suffix
+        # restriction + step-norm early exit gives iSAM2-scale per-closure
+        # cost (pose_graph.py:solve_graph_incremental); the dense (6N)²
+        # program would not survive a full-length sequence. Pure function of
+        # the snapshot; the backend keeps appending nodes meanwhile. ----
         with self.metrics.stage("graph_solve"):
-            solved = optimize_graph_chain(snapshot, n_iters=10)
-            solved_t = np.asarray(solved.t[:n0])  # forces completion
-            solved_q = np.asarray(solved.q[:n0])
+            if lc.graph_suffix:
+                solved_t, solved_q = solve_graph_incremental(
+                    snapshot, n0, pairs, n_iters=lc.graph_iters,
+                    tol=lc.graph_tol)
+            else:
+                solved = optimize_graph_chain(snapshot, n_iters=lc.graph_iters,
+                                              tol=lc.graph_tol)
+                solved_t = np.asarray(solved.t[:n0])  # forces completion
+                solved_q = np.asarray(solved.q[:n0])
 
         # ---- phase 5 (locked): apply + correct ----
         with held():
-            self._apply_solved_graph(solved_t, solved_q, n0)
-            self._correct_poses()
-            self.last_loop_stamp = float(stamps[mature])  # ROT :2403
+            with self.metrics.stage("lc_inlock"):
+                self._apply_solved_graph(solved_t, solved_q, n0)
+                self._correct_poses()
+                self.last_loop_stamp = float(stamps[mature])  # ROT :2403
         return True
 
     def _record_loop(self, i: int, j: int, rel_t, rel_q, fitness):

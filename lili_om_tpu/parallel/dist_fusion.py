@@ -1,4 +1,7 @@
-"""Distributed backend fusion: the full sliding-window step under GSPMD
+"""LEGACY — superseded sharding axis; production multi-chip fusion is
+``parallel/map_fusion.py`` (see STATUS below).
+
+Distributed backend fusion: the full sliding-window step under GSPMD
 data-parallel sharding (SURVEY.md §2.3 "distributed Gauss-Newton with psum
 over ICI for the Schur reduction").
 

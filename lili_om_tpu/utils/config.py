@@ -39,6 +39,11 @@ class SystemConfig:
     # by ratio·rel_trans (LidarOdometry.cpp:624-632). Examples wire it onto
     # LiliOmSystem.if_to_deskew.
     if_to_deskew: bool = False
+    # backend_fusion/mapping_interval (keyframe stride of the published
+    # global map, BackendFusion.cpp:2472; per-dataset — 7 in the Livox
+    # FR_IOSB yaml:30, 2 in the ROT one:31). Examples wire it onto
+    # LiliOmSystem.mapping_interval.
+    mapping_interval: int = 2
 
 
 def _merge_namedtuple(base, overrides: dict, ctx: str):
@@ -87,6 +92,7 @@ def config_fr_iosb() -> SystemConfig:
             search_radius=10.0, map_width=20, latest_width=1, icp_thres=0.1,
             icp_iters=100, icp_trim=1.0),  # reference ICP (:2567-2581)
         imu_noise=ImuNoise(),  # hardcoded Livox densities (Preintegration.h:40-46)
+        mapping_interval=7,  # yaml:30
     )
 
 
@@ -113,6 +119,7 @@ def config_fr_iosb_rot() -> SystemConfig:
             icp_iters=100, icp_trim=1.0),  # ROT: single time gate (:2248-2254)
         imu_noise=ImuNoise(acc_n=2000.0, gyr_n=0.0173, acc_w=2.0,
                            gyr_w=0.00025, init_cov=1e-3),  # yaml:5-9
+        mapping_interval=2,  # ROT yaml:31
     )
 
 
@@ -150,6 +157,7 @@ def config_fr_iosb_tree() -> SystemConfig:
     c.loop_closure.time_thres = 40.0
     c.loop_closure.local_time_thres = 40.0  # config_fr_iosb_tree.yaml:26
     c.loop_closure.icp_thres = 0.15
+    c.mapping_interval = 3  # yaml:30
     return c
 
 
@@ -161,6 +169,7 @@ def config_ka_urban_campus() -> SystemConfig:
     c.odometry = c.odometry._replace(scan_match_cnt=2)
     c.loop_closure.time_thres = 60.0
     c.loop_closure.local_time_thres = 60.0  # config_ka_urban_campus.yaml:29
+    c.mapping_interval = 5  # yaml:30
     return c
 
 
@@ -172,6 +181,7 @@ def config_ka_urban_east() -> SystemConfig:
     c.loop_closure.local_time_thres = 60.0  # config_ka_urban_east.yaml:29
     c.loop_closure.search_radius = 20.0
     c.loop_closure.icp_thres = 0.15
+    c.mapping_interval = 25  # yaml:30
     return c
 
 
@@ -184,6 +194,7 @@ def config_ka_urban_schloss_1() -> SystemConfig:
     c.loop_closure.local_time_thres = 60.0  # config_ka_urban_schloss_1.yaml:29
     c.loop_closure.search_radius = 7.0
     c.loop_closure.icp_thres = 0.15
+    c.mapping_interval = 3  # yaml:30
     return c
 
 
@@ -194,6 +205,7 @@ def config_ka_urban_schloss_2() -> SystemConfig:
     c.loop_closure.local_time_thres = 60.0  # config_ka_urban_schloss_2.yaml:29
     c.loop_closure.search_radius = 7.0
     c.loop_closure.icp_thres = 0.15
+    c.mapping_interval = 10  # yaml:30
     return c
 
 
@@ -203,6 +215,7 @@ def config_urban_hk_rot() -> SystemConfig:
     c.spin_features = c.spin_features._replace(ds_rate=2)
     c.loop_closure.search_radius = 25.0
     c.loop_closure.time_thres = 120.0
+    c.mapping_interval = 3  # ROT yaml:31
     return c
 
 
@@ -215,6 +228,7 @@ def config_utbm_rot() -> SystemConfig:
                            gyr_w=0.00025, init_cov=1e-3)
     c.loop_closure.search_radius = 25.0
     c.loop_closure.time_thres = 120.0
+    c.mapping_interval = 4  # ROT yaml:31
     return c
 
 

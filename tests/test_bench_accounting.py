@@ -43,9 +43,11 @@ def test_effective_clamps_at_capacity_and_scales_rounds():
     assert eff["odometry_knn"][0] == 6 * 4096 * 32768
 
 
-def test_effective_xla_byte_model():
+def test_effective_xla_keeps_capacity_figures():
+    """Only the Pallas counted kernel has fill-dependent work; the XLA tiled
+    fallback computes the full capacity-shaped distance tile regardless of
+    fill, so the effective model must NOT discount it (ADVICE r4)."""
     ks = _base_ks()
     counts = {"fusion_surf_knn": (256, 4096, 24576, 32768, 1)}
     eff = bench.effective_knn_accounting(ks, counts, pallas_knn=False, k=5)
-    # XLA tiled path: write the QxP tile once, re-read (k+1) times
-    assert eff["fusion_surf_knn"][1] == 4 * 256 * 4096 * 7
+    assert eff == ks

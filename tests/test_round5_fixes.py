@@ -1,0 +1,119 @@
+"""Round-5 regression tests: the incremental-fast global graph solve
+(step-norm early exit + affected-suffix restriction — the iSAM2-parity gap,
+VERDICT r4 task 1) and the off-lock loop-closure submap build (task 5).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lili_om_tpu.models.pose_graph import (add_loop, affected_base,
+                                           extract_suffix, init_graph,
+                                           optimize_graph_chain,
+                                           solve_graph_incremental)
+from lili_om_tpu.utils.math import pose_relative
+
+
+def drifted_chain(N, cap, seed=0, drift=0.002):
+    """Chain graph with accumulated odometry noise."""
+    rng = np.random.default_rng(seed)
+    ts = np.cumsum(np.full((N, 3), [0.1, 0, 0])
+                   + drift * rng.standard_normal((N, 3)), axis=0)
+    g = init_graph(cap)
+    return g._replace(
+        t=g.t.at[:N].set(jnp.asarray(ts, jnp.float32)),
+        node_valid=g.node_valid.at[:N].set(True),
+        rel_valid=g.rel_valid.at[:N - 1].set(True),
+        rel_t=g.rel_t.at[:N - 1].set(jnp.asarray(np.diff(ts, axis=0),
+                                                 jnp.float32)),
+        rel_weight=g.rel_weight.at[:N].set(100.0),
+        n_nodes=jnp.asarray(N, jnp.int32))
+
+
+def with_loop(g, i, j, fitness=0.05):
+    return add_loop(g, i, j,
+                    *pose_relative(g.t[i], g.q[i], g.t[j], g.q[j]), fitness)
+
+
+class TestEarlyExit:
+    def test_tol_matches_fixed_schedule(self):
+        """tol early exit converges to the same optimum as the fixed
+        10-iteration schedule (it only skips no-op iterations)."""
+        g = with_loop(drifted_chain(120, 128), 115, 10)
+        full = optimize_graph_chain(g, n_iters=10)
+        tol = optimize_graph_chain(g, n_iters=10, tol=1e-4)
+        assert float(jnp.max(jnp.abs(full.t[:120] - tol.t[:120]))) < 5e-3
+        assert float(jnp.max(jnp.abs(full.q[:120] - tol.q[:120]))) < 5e-3
+
+    def test_warm_start_exits_immediately(self):
+        """Re-solving an already-solved graph must not change it (the early
+        exit fires after one iteration with a tiny step)."""
+        g = with_loop(drifted_chain(120, 128), 115, 10)
+        solved = optimize_graph_chain(g, n_iters=10, tol=1e-3)
+        again = optimize_graph_chain(solved, n_iters=10, tol=1e-3)
+        assert float(jnp.max(jnp.abs(solved.t[:120] - again.t[:120]))) < 1e-3
+
+
+class TestAffectedSuffix:
+    def test_affected_base(self):
+        assert affected_base([]) == -1
+        assert affected_base([(190, 10)]) == 9
+        assert affected_base([(190, 10), (300, 150)]) == 9
+        assert affected_base([(5, 0)]) == 0
+
+    def test_incremental_matches_full(self):
+        N = 300
+        g = with_loop(drifted_chain(N, 512), N - 5, 40)
+        full = optimize_graph_chain(g, n_iters=10)
+        st, sq = solve_graph_incremental(g, N, [(N - 5, 40)],
+                                         n_iters=10, tol=1e-4)
+        # suffix solution matches the full batch solve (anchor stiffness +
+        # early-exit tolerance account for the residual difference)
+        assert float(np.max(np.abs(np.asarray(full.t[:N]) - st))) < 2e-2
+        assert float(np.max(np.abs(np.asarray(full.q[:N]) - sq))) < 1e-2
+
+    def test_prefix_bit_unchanged(self):
+        N = 300
+        g = with_loop(drifted_chain(N, 512), N - 5, 40)
+        st, sq = solve_graph_incremental(g, N, [(N - 5, 40)])
+        base = affected_base([(N - 5, 40)])
+        assert np.array_equal(st[:base], np.asarray(g.t[:base]))
+        assert np.array_equal(sq[:base], np.asarray(g.q[:base]))
+
+    def test_no_loops_is_identity(self):
+        N = 50
+        g = drifted_chain(N, 64)
+        st, sq = solve_graph_incremental(g, N, [])
+        assert np.array_equal(st, np.asarray(g.t[:N]))
+
+    def test_extract_suffix_remaps(self):
+        N = 300
+        g = with_loop(drifted_chain(N, 512), N - 5, 40)
+        sub = extract_suffix(g, 39, N)
+        assert int(sub.n_nodes) == N - 39
+        assert int(sub.loop_i[0]) == N - 5 - 39
+        assert int(sub.loop_j[0]) == 1
+        # last suffix node has no outgoing chain factor
+        assert not bool(sub.rel_valid[N - 39 - 1])
+        assert np.allclose(np.asarray(sub.t[0]), np.asarray(g.t[39]))
+
+
+class TestSystemWiring:
+    def test_closure_uses_incremental_and_records_inlock(self):
+        """End-to-end: a revisit closure goes through the suffix solve and
+        the in-lock phases are timed (lc_inlock stage, VERDICT r4 task 5)."""
+        from tests.test_round3_fixes import (DRIFT, make_system,
+                                             revisit_setup)
+
+        sys_ = make_system(time_thres=20.0, search_radius=5.0, map_width=2,
+                           latest_width=1)
+        revisit_setup(sys_, [0.0, 5.0, 10.0, 15.0, 40.0, 41.0, 42.0])
+        assert sys_.lc_cfg.graph_suffix and sys_.lc_cfg.graph_tol > 0
+        assert sys_.try_loop_closure()
+        t4 = np.asarray(sys_.graph.t[4])
+        assert np.linalg.norm(t4) < 0.6 * np.linalg.norm(DRIFT)
+        assert "lc_inlock" in sys_.metrics.samples
+        assert "graph_solve" in sys_.metrics.samples
+        # the in-lock phases exclude the submap build + ICP + solve; on this
+        # tiny fixture they are sub-ms, but CI boxes jitter — assert a loose
+        # ceiling that still catches the submap build re-entering the lock
+        assert max(sys_.metrics.samples["lc_inlock"]) < 0.25
