@@ -32,7 +32,13 @@ from .fitting import eig3_symmetric
 
 class LivoxFeatureConfig(NamedTuple):
     n_lines: int = 6  # N_SCANS
-    n_cols: int = 4000  # H_SCANS
+    # H_SCANS. MUST roughly match the sensor's points-per-line-per-sweep
+    # (Livox Horizon: 24k pts / 0.1 s / 6 lines = 4000, the reference's
+    # hardcode, Preprocessing.cpp:239): the eigen-patch classifier needs
+    # ≥25 valid cells per 6×6 patch, so binning a sparser stream into this
+    # width (< ~70 % column fill) silently starves extraction to zero
+    # features. Reduced-density sims must reduce n_cols to match.
+    n_cols: int = 4000
     surf_thres: float = 0.28  # config_fr_iosb.yaml
     edge_thres: float = 4.0
     min_depth: float = 2.0  # dep² gates 4..40000 (:260)

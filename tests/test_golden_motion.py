@@ -92,9 +92,16 @@ def _run(preset: str):
     fus = cfg.fusion._replace(kf_surf_cap=1024, kf_edge_cap=512,
                               map_surf_cap=8192, map_edge_cap=1024,
                               local_map_width=12, imu_cap=64)
+    # the Livox binning width MUST match the simulated point density: the
+    # eigen-patch classifier needs ≥25 valid cells per 6×6 patch
+    # (Preprocessing.cpp:287-298), so a 680-pt/line sim binned into the
+    # default 4000-column image (~6/36 filled) starves the extractor to
+    # zero features — the round-4 "aggressive-motion starvation" was
+    # exactly this rig artifact (VERDICT r4 task 3), not a matching failure
+    livox_cfg = cfg.livox_features._replace(n_cols=680)
     sys_ = LiliOmSystem(odo_cfg=odo, fusion_cfg=fus,
                         feat_cfg=cfg.spin_features._replace(surf_cap=4096),
-                        livox_cfg=cfg.livox_features,
+                        livox_cfg=livox_cfg,
                         lc_cfg=cfg.loop_closure, noise=cfg.imu_noise,
                         dtype=jnp.float64)
     sys_.lc_cfg.enabled = False
@@ -105,16 +112,18 @@ def _run(preset: str):
     sys_.push_imu(np.asarray(imu.stamps), np.asarray(imu.accs),
                   np.asarray(imu.gyrs))
 
+    n_corr = []
     if cfg.variant == "livox":
         pattern = livox_pattern(pts_per_line=680)
         for k in range(N_FRAMES):
             ts = k * PERIOD
             scan = simulate_scan(world, traj, ts, pattern, period=PERIOD,
                                  t_sl=t_sl, q_sl=q_sl)
-            sys_.process_scan_livox(
+            out = sys_.process_scan_livox(
                 np.asarray(scan.pts), np.asarray(scan.line, np.int32),
                 np.clip(np.asarray(scan.rel_time), 0, 0.999),
                 np.asarray(scan.reflectivity), np.asarray(scan.valid), ts)
+            n_corr.append(int(np.asarray(out.n_corr)))
     else:
         R, C = 16, 720
         pattern = spinning_pattern(n_rings=R, n_cols=C)
@@ -122,9 +131,11 @@ def _run(preset: str):
             ts = k * PERIOD
             scan = simulate_scan(world, traj, ts, pattern, period=PERIOD,
                                  t_sl=t_sl, q_sl=q_sl)
-            sys_.process_scan(np.asarray(scan.pts).reshape(R, C, 3),
-                              np.asarray(scan.valid).reshape(R, C),
-                              np.asarray(scan.rel_time).reshape(R, C), ts)
+            out = sys_.process_scan(np.asarray(scan.pts).reshape(R, C, 3),
+                                    np.asarray(scan.valid).reshape(R, C),
+                                    np.asarray(scan.rel_time).reshape(R, C),
+                                    ts)
+            n_corr.append(int(np.asarray(out.n_corr)))
 
     stamps = np.arange(N_FRAMES) * PERIOD
     gt_front = _sensor_frame_gt(sensor_traj, stamps)
@@ -136,16 +147,23 @@ def _run(preset: str):
                         np.asarray(sys_.graph.t[:nk]),
                         np.asarray(sys_.kf_stamps), kf_gt,
                         align=False)["rmse"]
-    return front_ate, back_ate
+    return front_ate, back_ate, n_corr
 
 
 class TestAggressiveMotionGolden:
     @pytest.mark.parametrize("preset,bound", [("fr_iosb_rot", 0.6),
                                               ("fr_iosb", 0.6)])
-    def test_backend_bounded(self, preset, bound):
-        front_ate, back_ate = _run(preset)
+    def test_backend_bounded_and_frontend_acquires(self, preset, bound):
+        front_ate, back_ate, n_corr = _run(preset)
         # the IMU-fused backend stays bounded under the yaw bursts; the
         # frontend is allowed to degrade (gyro-only undistortion), matching
         # the diag_backend split (docs/STATUS.md: 0.35 m vs 1.9 m)
         assert np.isfinite(back_ate)
         assert back_ate < bound, (preset, front_ate, back_ate)
+        # the frontend must keep MATCHING through the bursts — it may drift,
+        # but it must not run open-loop on the constant-velocity prior
+        # (VERDICT r4 task 3: the round-4 Livox rig starved the extractor by
+        # binning 680 pts/line into 4000 columns; with a density-matched
+        # image both variants hold correspondences on ≥90 % of frames)
+        acquired = np.mean([c > 0 for c in n_corr[2:]])  # skip bootstrap
+        assert acquired >= 0.9, (preset, acquired, n_corr)

@@ -9,6 +9,7 @@ import pytest
 from lili_om_tpu.models.fusion import FusionConfig
 from lili_om_tpu.models.odometry import OdometryConfig
 from lili_om_tpu.models.system import LiliOmSystem, LoopClosureConfig
+from lili_om_tpu.ops.features_livox import LivoxFeatureConfig
 from lili_om_tpu.ops.features_spin import SpinFeatureConfig
 from lili_om_tpu.runtime.pipeline import PipelineRunner
 from lili_om_tpu.sim.lidar import simulate_scan, spinning_pattern
@@ -25,6 +26,9 @@ def tiny_system():
                                 kf_edge_cap=256, map_surf_cap=2048, map_edge_cap=512,
                                 use_reflectivity=False, max_num_iter=2, imu_cap=32),
         feat_cfg=SpinFeatureConfig(surf_cap=1024),
+        # density-matched Livox binning for the 400-pt/line sim (see
+        # LivoxFeatureConfig.n_cols — the default 4000 starves the extractor)
+        livox_cfg=LivoxFeatureConfig(n_cols=400),
         lc_cfg=LoopClosureConfig(enabled=True, time_thres=1e9),  # detection runs, never fires
         graph_capacity=32, dtype=jnp.float64,
     )
