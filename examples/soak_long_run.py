@@ -1,0 +1,156 @@
+"""Long-context soak: multi-lap run to ~10k keyframes (VERDICT r4 task 4).
+
+Asserts the three long-run invariants the north star cares about:
+
+* per-keyframe backend latency stays FLAT (the incremental mature-map
+  tables + ring buffers make the per-keyframe cost independent of
+  trajectory length);
+* per-closure graph-solve time stays FLAT (the affected-suffix +
+  early-exit incremental solve, pose_graph.py:solve_graph_incremental —
+  the reference gets this from iSAM2's incrementality);
+* host archive memory stays BOUNDED with the spill policy
+  (LiliOmSystem.spill_archives; resident ≈ archive_keep_recent · ~cloud).
+
+One lap of a small world is simulated once (40 scan positions) and
+replayed with shifted stamps — sim cost is O(lap), run length is O(laps).
+Reduced capacities (CI-class); the cost STRUCTURE, not the absolute
+throughput, is what the soak validates.
+
+Usage: python examples/soak_long_run.py [n_keyframes] [--spill]
+"""
+import argparse
+import resource
+import sys
+import time
+
+sys.path.insert(0, ".")  # run from the repo root (PYTHONPATH breaks sitecustomize)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from lili_om_tpu.models.fusion import FusionConfig  # noqa: E402
+from lili_om_tpu.models.odometry import OdometryConfig  # noqa: E402
+from lili_om_tpu.models.system import LiliOmSystem, LoopClosureConfig  # noqa: E402
+from lili_om_tpu.ops.features_spin import SpinFeatureConfig  # noqa: E402
+from lili_om_tpu.sim.lidar import simulate_scan, spinning_pattern  # noqa: E402
+from lili_om_tpu.sim.trajectory import circle_trajectory, simulate_imu  # noqa: E402
+from lili_om_tpu.sim.world import make_room_world  # noqa: E402
+
+R, C, PERIOD = 16, 360, 0.1
+FRAMES_PER_LAP = 200  # 20 s lap → 2.5 m/s on the r=8 circle (trackable)
+LAP_T = FRAMES_PER_LAP * PERIOD
+
+
+def rss_mb():
+    """CURRENT resident set (ru_maxrss is the peak — useless for showing a
+    bound holding)."""
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * resource.getpagesize() / 2**20
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_keyframes", nargs="?", type=int, default=10000)
+    ap.add_argument("--spill", action="store_true",
+                    help="enable the archive spill policy (tmpdir)")
+    ap.add_argument("--loop-every", type=int, default=10,
+                    help="frames between loop-closure attempts (1 Hz at 10 Hz)")
+    args = ap.parse_args()
+
+    world = make_room_world()
+    traj = circle_trajectory(radius=8.0, period=LAP_T)
+    pattern = spinning_pattern(n_rings=R, n_cols=C)
+
+    sys_ = LiliOmSystem(
+        odo_cfg=OdometryConfig(n_recent_frames=4, scan_cap=1024,
+                               query_cap=256, map_cap=4096),
+        fusion_cfg=FusionConfig(window=3, local_map_width=6, kf_surf_cap=512,
+                                kf_edge_cap=128, map_surf_cap=4096,
+                                map_edge_cap=512, use_reflectivity=False,
+                                weight_gate=0.3, lidar_const=7.5,
+                                max_num_iter=4, imu_cap=32),
+        feat_cfg=SpinFeatureConfig(surf_cap=1024),
+        lc_cfg=LoopClosureConfig(enabled=True, time_thres=LAP_T * 0.6,
+                                 search_radius=5.0, map_width=3,
+                                 latest_width=1, icp_iters=10,
+                                 submap_cap=4096, merge_width=10),
+        graph_capacity=2048, dtype=jnp.float32)
+    if args.spill:
+        import tempfile
+
+        sys_.archive_spill_dir = tempfile.mkdtemp(prefix="lili_spill_")
+        sys_.archive_keep_recent = 128
+    sys_.densify_frames = False  # soak targets the keyframe/graph path
+
+    # one lap simulated once, replayed with shifted stamps
+    lap_scans = [simulate_scan(world, traj, k * PERIOD, pattern,
+                               period=PERIOD) for k in range(FRAMES_PER_LAP)]
+    lap_scans = [(np.asarray(s.pts).reshape(R, C, 3),
+                  np.asarray(s.valid).reshape(R, C),
+                  np.asarray(s.rel_time).reshape(R, C)) for s in lap_scans]
+    imu = simulate_imu(traj, 0.0, LAP_T, rate=200.0)
+    imu_s = np.asarray(imu.stamps)
+    imu_a, imu_g = np.asarray(imu.accs), np.asarray(imu.gyrs)
+
+    kf_lat, solve_t, lap = [], [], 0
+    rss0 = rss_mb()
+    t_start = time.time()
+    while len(sys_.kf_stamps) < args.n_keyframes:
+        base = lap * LAP_T
+        keep = imu_s > 1e-9 if lap else np.ones_like(imu_s, bool)
+        sys_.push_imu(imu_s[keep] + base, imu_a[keep], imu_g[keep])
+        for k, (img, valid, rel) in enumerate(lap_scans):
+            ts = base + k * PERIOD
+            nk0 = len(sys_.kf_stamps)
+            t0 = time.perf_counter()
+            sys_.process_scan(img, valid, rel, ts)
+            dt = time.perf_counter() - t0
+            if len(sys_.kf_stamps) > nk0:
+                kf_lat.append(dt)
+            if (lap * FRAMES_PER_LAP + k) % args.loop_every == 0:
+                n_solved0 = len(sys_.metrics.samples.get("graph_solve", []))
+                sys_.try_loop_closure()
+                gs = sys_.metrics.samples.get("graph_solve", [])
+                if len(gs) > n_solved0:
+                    solve_t.append(gs[-1])
+        lap += 1
+        nk = len(sys_.kf_stamps)
+        if lap % 2 == 0:
+            el = time.time() - t_start
+            print(f"lap {lap:4d}  kf={nk:6d}  closures={len(solve_t):4d} "
+                  f"loops={int(sys_.graph.n_loops):3d}  rss={rss_mb():.0f}MB "
+                  f"({el:.0f}s)", flush=True)
+
+    nk = len(sys_.kf_stamps)
+    q = max(len(kf_lat) // 4, 1)
+    sq = max(len(solve_t) // 4, 1)
+    p50 = lambda x: float(np.percentile(x, 50)) if len(x) else float("nan")
+    lat_first, lat_last = p50(kf_lat[:q]), p50(kf_lat[-q:])
+    sol_first, sol_last = p50(solve_t[:sq]), p50(solve_t[-sq:])
+    print(f"\nkeyframes: {nk}, frames: {lap * FRAMES_PER_LAP}, "
+          f"closures: {len(solve_t)}, loop factors: {int(sys_.graph.n_loops)}")
+    print(f"per-keyframe latency p50: first-quartile {lat_first * 1e3:.1f} ms "
+          f"-> last-quartile {lat_last * 1e3:.1f} ms "
+          f"(ratio {lat_last / lat_first:.2f})")
+    print(f"graph-solve p50: first-quartile {sol_first * 1e3:.1f} ms "
+          f"-> last-quartile {sol_last * 1e3:.1f} ms "
+          f"(ratio {sol_last / max(sol_first, 1e-9):.2f})")
+    inlock = sys_.metrics.samples.get("lc_inlock", [])
+    if inlock:
+        print(f"lc_inlock p50 {np.percentile(inlock, 50) * 1e3:.2f} ms "
+              f"p95 {np.percentile(inlock, 95) * 1e3:.2f} ms (n={len(inlock)})")
+    n_res = sum(1 for c in sys_.kf_clouds if not isinstance(c, str))
+    print(f"rss: {rss0:.0f} -> {rss_mb():.0f} MB; resident surf archives: "
+          f"{n_res}/{nk}" + (f" (spill dir {sys_.archive_spill_dir})"
+                             if sys_.archive_spill_dir else " (no spill)"))
+    ok = (lat_last / lat_first < 1.5) and (sol_last / max(sol_first, 1e-9) < 2.0)
+    print("SOAK " + ("PASS" if ok else "FAIL"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

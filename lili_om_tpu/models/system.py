@@ -218,6 +218,11 @@ class LiliOmSystem:
         # BackendFusion.cpp:1497-1500, 2644-2685)
         self.kf_full_clouds: list[np.ndarray] = []
         self.full_cloud_leaf = 0.3  # mapping_ds (config_fr_iosb.yaml:35)
+        # long-run archive bound (see spill_archives): set a directory to
+        # spill keyframe clouds older than ``archive_keep_recent`` to disk
+        self.archive_spill_dir: str | None = None
+        self.archive_keep_recent: int = 256
+        self._spill_marks: dict[str, int] = {}
         self.full_cloud_cap = 16384
         self.kf_positions: list[np.ndarray] = []
         self.n_frames = 0
@@ -681,9 +686,14 @@ class LiliOmSystem:
         # consume the integrated samples (reference pops imu_buf the same
         # way); one scan period of margin for sweep-boundary undistortion
         self._trim_imu(stamp - self.scan_period)
+        self.spill_archives()  # no-op unless archive_spill_dir is set
 
     def _kf_cloud_np(self, i: int, archive=None) -> np.ndarray:
-        """Materialize archived keyframe cloud i (lazy device→host)."""
+        """Materialize archived keyframe cloud i (lazy device→host; spilled
+        entries — see :meth:`spill_archives` — reload from disk). Concurrent
+        calls/spills race benignly: every representation (device tuple,
+        cached numpy, spill path) materializes to the same value, and list
+        item assignment is atomic."""
         if archive is None:
             archive = self.kf_clouds
         c = archive[i]
@@ -691,7 +701,45 @@ class LiliOmSystem:
             sp, sm = c
             c = np.asarray(sp)[np.asarray(sm)]
             archive[i] = c
+        elif isinstance(c, str):
+            return np.load(c)  # spilled — do not re-cache (stay bounded)
         return c
+
+    def spill_archives(self) -> int:
+        """Bound host+device archive memory on long runs: move keyframe
+        clouds older than ``archive_keep_recent`` to ``archive_spill_dir``
+        as .npy files (device refs materialize + free HBM; host numpy
+        frees RAM). No-op unless ``archive_spill_dir`` is set. Amortized
+        O(1)/keyframe via per-archive watermarks; called automatically
+        per keyframe when enabled. Returns the number of clouds spilled.
+
+        The reference archives every keyframe's full cloud forever
+        (full_clouds push_back, BackendFusion.cpp:1497-1500 — unbounded
+        there too); this policy is the long-context bound the north star
+        asks for: resident archive ≈ keep_recent · ~250 KB, independent
+        of trajectory length. Loop closure & map export reload spilled
+        entries transparently (`_kf_cloud_np`)."""
+        if self.archive_spill_dir is None:
+            return 0
+        import os
+
+        os.makedirs(self.archive_spill_dir, exist_ok=True)
+        n_spilled = 0
+        hi = len(self.kf_stamps) - self.archive_keep_recent
+        for name, archive in (("surf", self.kf_clouds),
+                              ("edge", self.kf_edge_clouds),
+                              ("full", self.kf_full_clouds)):
+            lo = self._spill_marks.get(name, 0)
+            for i in range(lo, min(hi, len(archive))):
+                c = archive[i]
+                if not isinstance(c, str):
+                    path = os.path.join(self.archive_spill_dir,
+                                        f"{name}_{i:07d}.npy")
+                    np.save(path, self._kf_cloud_np(i, archive))
+                    archive[i] = path
+                    n_spilled += 1
+            self._spill_marks[name] = max(lo, min(hi, len(archive)))
+        return n_spilled
 
     def _world_cloud_np(self, i: int, g_t, g_q, archive=None) -> np.ndarray:
         """Archived sensor-frame cloud i → world, applying the lidar→body

@@ -97,6 +97,48 @@ class TestAffectedSuffix:
         assert np.allclose(np.asarray(sub.t[0]), np.asarray(g.t[39]))
 
 
+class TestArchiveSpill:
+    def test_spill_bounds_residency_and_stays_readable(self, tmp_path):
+        """spill_archives moves old keyframe clouds to disk; loop closure /
+        export reload them transparently through _kf_cloud_np (VERDICT r4
+        task 4 — the long-context memory bound)."""
+        from tests.test_round3_fixes import corner_cloud, make_system, QID
+
+        sys_ = make_system()
+        sys_.archive_spill_dir = str(tmp_path / "spill")
+        sys_.archive_keep_recent = 3
+        cloud = corner_cloud()
+        for i in range(10):
+            from lili_om_tpu.models.pose_graph import add_node
+            sys_.graph = add_node(sys_.graph,
+                                  jnp.asarray([float(i), 0, 0], jnp.float64),
+                                  jnp.asarray(QID, jnp.float64))
+            sys_.kf_stamps.append(float(i))
+            sys_.kf_positions.append(np.array([float(i), 0, 0]))
+            sys_.kf_clouds.append(cloud.astype(np.float64))
+            sys_.kf_full_clouds.append(cloud.astype(np.float64))
+            sys_.spill_archives()
+        # everything older than keep_recent is a path now
+        n_paths = sum(isinstance(c, str) for c in sys_.kf_clouds)
+        assert n_paths == 10 - 3
+        # reloads bit-identical, without re-caching into memory
+        got = sys_._kf_cloud_np(0)
+        np.testing.assert_array_equal(got, cloud)
+        assert isinstance(sys_.kf_clouds[0], str)
+        # global map assembly still sees every keyframe
+        m = sys_.build_global_map(leaf=0.5)
+        assert len(m) > 0
+
+    def test_spill_disabled_is_noop(self):
+        from tests.test_round3_fixes import corner_cloud, make_system
+
+        sys_ = make_system()
+        sys_.kf_stamps.append(0.0)
+        sys_.kf_clouds.append(corner_cloud())
+        assert sys_.spill_archives() == 0
+        assert isinstance(sys_.kf_clouds[0], np.ndarray)
+
+
 class TestSystemWiring:
     def test_closure_uses_incremental_and_records_inlock(self):
         """End-to-end: a revisit closure goes through the suffix solve and
