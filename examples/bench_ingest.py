@@ -133,34 +133,35 @@ def rss_mb():
         return int(f.read().split()[1]) * resource.getpagesize() / 2**20
 
 
-def run(path: str, n_hosts: int):
-    import jax
+def decode(msg):
+    """Module-level, numpy-only, PICKLABLE (required for --processes; and
+    jax-free so worker processes stay lightweight). Ring from the vertical
+    angle (HDL-32E band), azimuth → column — the run_bag.py decode shape."""
+    pts = msg.xyz()
+    finite = np.isfinite(pts).all(axis=1)
+    rng_xy = np.linalg.norm(pts[:, :2], axis=1)
+    vert = np.degrees(np.arctan2(pts[:, 2], np.maximum(rng_xy, 1e-9)))
+    ring = np.clip(((vert + 30.67) / (41.34 / (RINGS - 1))).astype(np.int64),
+                   0, RINGS - 1)
+    az = np.arctan2(pts[:, 1], pts[:, 0])
+    rel = ((az + np.pi) / (2 * np.pi)).astype(np.float32)
+    col = np.clip((rel * COLS).astype(np.int64), 0, COLS - 1)
+    img = np.zeros((RINGS, COLS, 3), np.float32)
+    valid = np.zeros((RINGS, COLS), bool)
+    relimg = np.zeros((RINGS, COLS), np.float32)
+    img[ring[finite], col[finite]] = pts[finite]
+    valid[ring[finite], col[finite]] = True
+    relimg[ring[finite], col[finite]] = rel[finite]
+    return "spin", (img, valid, relimg)
 
-    jax.config.update("jax_platforms", "cpu")
+
+def run(path: str, n_hosts: int, processes: bool = False):
     from lili_om_tpu.io.rosbag import ImuMsg, PointCloud2Msg, read_bag
-    from lili_om_tpu.ops.features_spin import ring_from_angle
     from lili_om_tpu.runtime.ingest import ShardedIngest
-    import jax.numpy as jnp
-
-    def decode(msg):
-        pts = msg.xyz()
-        finite = np.isfinite(pts).all(axis=1)
-        r, ok = ring_from_angle(jnp.asarray(pts, jnp.float32), RINGS)
-        ring = np.clip(np.asarray(r), 0, RINGS - 1)
-        finite &= np.asarray(ok)
-        az = np.arctan2(pts[:, 1], pts[:, 0])
-        rel = ((az + np.pi) / (2 * np.pi)).astype(np.float32)
-        col = np.clip((rel * COLS).astype(np.int64), 0, COLS - 1)
-        img = np.zeros((RINGS, COLS, 3), np.float32)
-        valid = np.zeros((RINGS, COLS), bool)
-        relimg = np.zeros((RINGS, COLS), np.float32)
-        img[ring[finite], col[finite]] = pts[finite]
-        valid[ring[finite], col[finite]] = True
-        relimg[ring[finite], col[finite]] = rel[finite]
-        return "spin", (img, valid, relimg)
 
     sink = _CountingSink()
-    ingest = ShardedIngest(sink, decode, n_hosts=n_hosts)
+    ingest = ShardedIngest(sink, decode, n_hosts=n_hosts,
+                           processes=processes)
     n_imu = 0
     rss_samples = [rss_mb()]
     t0 = time.time()
@@ -176,8 +177,9 @@ def run(path: str, n_hosts: int):
     rss_samples.append(rss_mb())
     sps = sink.n / wall
     drift = max(rss_samples) - rss_samples[1] if len(rss_samples) > 2 else 0.0
+    mode = "processes" if processes else "threads"
     print(f"{sink.n} scans + {n_imu} imu in {wall:.1f}s -> "
-          f"{sps:.1f} scans/s sustained ({n_hosts} ingest hosts)")
+          f"{sps:.1f} scans/s sustained ({n_hosts} ingest hosts, {mode})")
     print(f"rss: start {rss_samples[0]:.0f} MB, after-warm "
           f"{rss_samples[1]:.0f} MB, max {max(rss_samples):.0f} MB "
           f"(drift past warmup {drift:.0f} MB)")
@@ -192,11 +194,14 @@ def main():
     ap.add_argument("bag")
     ap.add_argument("--scans", type=int, default=2000)
     ap.add_argument("--ingest-hosts", type=int, default=4)
+    ap.add_argument("--processes", action="store_true",
+                    help="decode workers as OS processes (ShardedIngest"
+                         " process mode)")
     args = ap.parse_args()
     if args.cmd == "gen":
         gen(args.bag, args.scans)
         return 0
-    return run(args.bag, args.ingest_hosts)
+    return run(args.bag, args.ingest_hosts, processes=args.processes)
 
 
 if __name__ == "__main__":
