@@ -545,24 +545,38 @@ def extract_suffix(g: PoseGraph, base: int, n: int) -> PoseGraph:
 
 def solve_graph_incremental(g: PoseGraph, n: int, loop_pairs,
                             n_iters: int = 10, tol: float = 1e-3,
-                            damping: float = 1e-6):
+                            damping: float = 1e-6, device: str = "cpu"):
     """Incremental-fast global solve: suffix-restricted + early-exit GN.
 
     Returns host numpy ``(t, q)`` of shape (n, 3)/(n, 4) — the corrected
     poses for nodes [0, n), prefix passed through unchanged. Pure function
     of the snapshot (safe to run off-lock, system.py phase 4).
+
+    ``device``: "cpu" (default) pins the solve to the host CPU backend —
+    the program is scans of unrolled 6×6 block algebra (ms-scale on a few
+    cores; 18 ms at 775 nodes, 262 ms at 10k) whose operands are < 1 MB,
+    while running it on a remote-attached TPU pays a multi-second XLA:TPU
+    compile per suffix-capacity bucket through the tunnel (measured 7 s
+    p50 dominating the closure latency) for zero execution win. "default"
+    keeps the ambient backend.
     """
     base = affected_base(loop_pairs)
     if base < 0:  # no loop factors — chain is already at its optimum
         return np.asarray(g.t[:n]), np.asarray(g.q[:n])
-    sub = extract_suffix(g, base, n)
-    # a stiffer anchor than the full-graph prior: the suffix anchor stands
-    # in for the entire (rigid, solved) prefix, not just a soft start node
-    solved = optimize_graph_chain(sub, n_iters=n_iters, tol=tol,
-                                  damping=damping, prior_weight=1e6)
-    length = n - base
-    t = np.asarray(g.t[:n]).copy()
-    q = np.asarray(g.q[:n]).copy()
-    t[base:] = np.asarray(solved.t[:length])
-    q[base:] = np.asarray(solved.q[:length])
+    import contextlib
+
+    ctx = (jax.default_device(jax.devices("cpu")[0])
+           if device == "cpu" else contextlib.nullcontext())
+    with ctx:
+        sub = extract_suffix(g, base, n)
+        # a stiffer anchor than the full-graph prior: the suffix anchor
+        # stands in for the entire (rigid, solved) prefix, not just a soft
+        # start node
+        solved = optimize_graph_chain(sub, n_iters=n_iters, tol=tol,
+                                      damping=damping, prior_weight=1e6)
+        length = n - base
+        t = np.asarray(g.t[:n]).copy()
+        q = np.asarray(g.q[:n]).copy()
+        t[base:] = np.asarray(solved.t[:length])
+        q[base:] = np.asarray(solved.q[:length])
     return t, q
