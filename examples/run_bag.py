@@ -35,6 +35,12 @@ def main():
                     help="decode the raw scan stream on N parallel ingest "
                          "workers (runtime/ingest.py — the multi-host DCN "
                          "ingest split, SURVEY.md §2.3)")
+    ap.add_argument("--live-viz", default=None, metavar="DIR",
+                    help="live viewer directory (utils/live_viz.py — the "
+                         "rviz-session analog; refreshes at the map-publish "
+                         "cadence)")
+    ap.add_argument("--live-port", type=int, default=0,
+                    help="with --live-viz: serve DIR over HTTP on this port")
     ap.add_argument("--export-dir", default=None,
                     help="write TUM trajectory + PCD/PLY map + overview PNG")
     args = ap.parse_args()
@@ -68,6 +74,13 @@ def main():
     )
     sys_.if_to_deskew = cfg.if_to_deskew  # yaml lidar_odometry/if_to_deskew
     sys_.mapping_interval = cfg.mapping_interval  # yaml backend_fusion/mapping_interval
+    if args.live_viz:
+        from lili_om_tpu.utils.live_viz import LiveViewer
+
+        viewer = LiveViewer(args.live_viz, sys_)
+        if args.live_port or args.live_viz:
+            port = viewer.serve(args.live_port)
+            print(f"live viewer: http://localhost:{port}/ -> {args.live_viz}")
     # ingest, backend fusion, and loop closure overlap on the runner's
     # workers (the reference's 4-process topology + 1 Hz loop thread);
     # drop_when_full=False — offline replay must not drop scans

@@ -37,3 +37,53 @@ def test_ply_with_colors(tmp_path):
     assert b"property uchar red" in raw
     _, _, payload = raw.partition(b"end_header\n")
     assert len(payload) == 4 * (12 + 3)
+
+
+class TestLiveViewer:
+    """Live viewer (utils/live_viz.py) — the rviz-session analog
+    (VERDICT r4 missing #4)."""
+
+    def _system(self):
+        from tests.test_round3_fixes import make_system
+
+        sys_ = make_system()
+        sys_.kf_stamps.append(0.0)
+        sys_.kf_positions.append(np.zeros(3))
+        sys_.trajectory.append(np.zeros(3))
+        sys_._frame_stamps.append(0.0)
+        sys_.n_frames = 1
+        return sys_
+
+    def test_update_writes_artifacts(self, tmp_path):
+        from lili_om_tpu.utils.live_viz import LiveViewer
+
+        sys_ = self._system()
+        v = LiveViewer(str(tmp_path), sys_, figure=True)
+        assert sys_.map_callback is not None
+        sys_.map_callback(np.random.default_rng(0).normal(size=(100, 3)))
+        for name in ("overview.png", "trajectory.tum", "status.json",
+                     "index.html"):
+            assert (tmp_path / name).exists(), name
+        import json
+
+        st = json.loads((tmp_path / "status.json").read_text())
+        assert st["keyframes"] == 1 and st["updates"] == 1
+
+    def test_http_serving(self, tmp_path):
+        import urllib.request
+
+        from lili_om_tpu.utils.live_viz import LiveViewer
+
+        sys_ = self._system()
+        v = LiveViewer(str(tmp_path), sys_, figure=False)
+        v.update(sys_)
+        port = v.serve(0)
+        try:
+            body = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status.json", timeout=5).read()
+            assert b"keyframes" in body
+            idx = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=5).read()
+            assert b"lili_om_tpu" in idx
+        finally:
+            v.close()
