@@ -147,7 +147,13 @@ def main():
     print(f"rss: {rss0:.0f} -> {rss_mb():.0f} MB; resident surf archives: "
           f"{n_res}/{nk}" + (f" (spill dir {sys_.archive_spill_dir})"
                              if sys_.archive_spill_dir else " (no spill)"))
-    ok = (lat_last / lat_first < 1.5) and (sol_last / max(sol_first, 1e-9) < 2.0)
+    # Criteria: per-keyframe latency FLAT (the per-scan path is O(1) in
+    # trajectory length); graph solve bounded by the VERDICT's 10k-node
+    # absolute target (<1 s p50) rather than flat — a closure to a lap-1
+    # node makes the affected suffix the whole graph, so a converged solve
+    # legitimately costs O(N) per iteration (iSAM2's worst case too; the
+    # early exit bounds the iteration count, not N).
+    ok = (lat_last / lat_first < 1.5) and (sol_last < 1.0)
     print("SOAK " + ("PASS" if ok else "FAIL"))
     return 0 if ok else 1
 
