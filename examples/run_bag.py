@@ -78,9 +78,8 @@ def main():
         from lili_om_tpu.utils.live_viz import LiveViewer
 
         viewer = LiveViewer(args.live_viz, sys_)
-        if args.live_port or args.live_viz:
-            port = viewer.serve(args.live_port)
-            print(f"live viewer: http://localhost:{port}/ -> {args.live_viz}")
+        port = viewer.serve(args.live_port)  # 0 → ephemeral, printed below
+        print(f"live viewer: http://localhost:{port}/ -> {args.live_viz}")
     # ingest, backend fusion, and loop closure overlap on the runner's
     # workers (the reference's 4-process topology + 1 Hz loop thread);
     # drop_when_full=False — offline replay must not drop scans

@@ -691,16 +691,18 @@ class LiliOmSystem:
     def _kf_cloud_np(self, i: int, archive=None) -> np.ndarray:
         """Materialize archived keyframe cloud i (lazy device→host; spilled
         entries — see :meth:`spill_archives` — reload from disk). Concurrent
-        calls/spills race benignly: every representation (device tuple,
-        cached numpy, spill path) materializes to the same value, and list
-        item assignment is atomic."""
+        calls race benignly on the VALUE (every representation materializes
+        identically; list item assignment is atomic); with spilling enabled
+        this method never writes the archive, so it cannot clobber a spill
+        path after the spill watermark passed — the memory bound holds."""
         if archive is None:
             archive = self.kf_clouds
         c = archive[i]
         if isinstance(c, tuple):
             sp, sm = c
             c = np.asarray(sp)[np.asarray(sm)]
-            archive[i] = c
+            if self.archive_spill_dir is None:
+                archive[i] = c  # cache-in-place only when nothing spills
         elif isinstance(c, str):
             return np.load(c)  # spilled — do not re-cache (stay bounded)
         return c

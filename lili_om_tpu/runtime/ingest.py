@@ -85,7 +85,7 @@ class ShardedIngest:
         self._seq = 0
         self._stop = threading.Event()
         self._err: Optional[BaseException] = None
-        self.processes = bool(processes) and n_hosts > 1
+        self.processes = bool(processes)  # honored even at n_hosts == 1
         if self.processes:
             import multiprocessing as mp
             from concurrent.futures import ProcessPoolExecutor
@@ -130,10 +130,16 @@ class ShardedIngest:
         self._in[s % self.n_hosts].put((s, raw, stamp))
 
     def close(self, timeout: float = 60.0):
-        """Drain remaining decodes and stop the workers."""
+        """Drain remaining decodes and stop the workers. Raises if the
+        forwarder failed OR could not drain within ``timeout`` — an
+        undrained close means dropped tail scans, which lossless offline
+        replay must not silently accept."""
         if self.processes:
-            self._futs.put(None)  # sentinel
-            self._fwd_done.wait(timeout=timeout)
+            self._futs.put(None)  # sentinel (forwarder always drains to it)
+            if not self._fwd_done.wait(timeout=timeout):
+                raise RuntimeError(
+                    f"ingest close timed out after {timeout}s with "
+                    "undelivered scans still queued")
             self._pool.shutdown(wait=True)
         elif self.n_hosts > 1:
             with self._merge_cv:
@@ -148,11 +154,16 @@ class ShardedIngest:
 
     def _fwd_loop(self):
         """Process mode: consume decode futures in submission order (strict
-        sequence order by construction) and forward."""
+        sequence order by construction) and forward. NEVER exits before the
+        close() sentinel: after a failure it keeps DRAINING the queue (items
+        are discarded) so producers blocked in the bounded ``put`` unblock
+        and observe ``self._err`` on their next ``feed_raw``."""
         while True:
             item = self._futs.get()
             if item is None:
                 break
+            if self._err is not None:
+                continue  # draining after failure
             s, fut, stamp = item
             try:
                 kind, payload = fut.result()
@@ -162,7 +173,6 @@ class ShardedIngest:
                 self._forward(s, kind, payload, stamp)
             except BaseException as e:
                 self._err = e
-                break
         self._fwd_done.set()
 
     # ---- internals -------------------------------------------------------

@@ -10,8 +10,9 @@ directory of live artifacts:
 
 * ``overview.png`` — the top-down map + trajectory figure (auto-refreshing
   ``index.html`` wraps it);
-* ``trajectory.tum`` — the current dense trajectory in TUM format (tail it,
-  or load it in evo/any TUM tool mid-run);
+* ``trajectory.tum`` — the current per-frame POSITIONS in TUM format
+  (identity quaternions — valid for translation metrics/plots; use the
+  post-run ``utils/viz.py:export_run`` for full poses);
 * ``status.json`` — frame/keyframe/loop counters.
 
 ``serve()`` starts a stdlib HTTP server on the directory so a browser on
@@ -79,11 +80,19 @@ class LiveViewer:
         import http.server
         import socketserver
 
-        handler = functools.partial(
-            http.server.SimpleHTTPRequestHandler, directory=self.out_dir)
-        handler.log_message = lambda *a, **k: None  # quiet
-        socketserver.TCPServer.allow_reuse_address = True
-        self._httpd = socketserver.TCPServer(("", port), handler)
+        class _Quiet(http.server.SimpleHTTPRequestHandler):
+            # the index polls every 5 s — without this override the stdlib
+            # handler floods the run's console with GET log lines (the
+            # override must live on the CLASS; setting it on a partial
+            # object would never be looked up)
+            def log_message(self, *a, **k):
+                pass
+
+        class _Srv(socketserver.TCPServer):
+            allow_reuse_address = True  # instance-scoped, not a stdlib mutation
+
+        handler = functools.partial(_Quiet, directory=self.out_dir)
+        self._httpd = _Srv(("", port), handler)
         threading.Thread(target=self._httpd.serve_forever,
                          daemon=True).start()
         return self._httpd.server_address[1]
@@ -110,7 +119,12 @@ class LiveViewer:
         }
         self._write(os.path.join(self.out_dir, "status.json"),
                     json.dumps(status).encode())
-        tum = "".join(
+        # POSITIONS ONLY: the per-frame trajectory archive carries no
+        # orientations, so quaternions are written as identity — translation
+        # ATE/plots are valid, rotation metrics are not (use
+        # utils/viz.py:export_run post-run for full poses). The leading
+        # comment makes the file self-describing for TUM tools.
+        tum = "# positions only — identity quaternions (live view)\n" + "".join(
             f"{s} {t[0]} {t[1]} {t[2]} 0 0 0 1\n"
             for s, t in zip(system._frame_stamps, traj))
         self._write(os.path.join(self.out_dir, "trajectory.tum"),
