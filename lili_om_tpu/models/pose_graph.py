@@ -336,44 +336,58 @@ def _cho_solve6(L, B):
     return _tri_upper6(L, _tri_lower6(L, B))
 
 
-def block_tridiag_solve(D, B, rhs):
-    """Solve the block-tridiagonal SPD system T·X = rhs.
-
-    T has diagonal blocks ``D`` (N,6,6) and super-diagonal blocks ``B``
-    (N,6,6) where B[i] couples nodes i and i+1 (B[N-1] ignored);
-    rhs (N,6,R). Block-Thomas: forward elimination then back substitution,
-    both as lax.scan.
-    """
-    N = D.shape[0]
+def block_tridiag_factor(D, B):
+    """Block-Thomas factorization of the block-tridiagonal SPD T
+    (diagonal blocks ``D`` (N,6,6), super-diagonal ``B`` (N,6,6) coupling
+    i↔i+1; B[N-1] ignored). Returns ``(Lcs, Cs, B_prev)`` — O(N·72)
+    floats — reusable across any number of right-hand sides
+    (:func:`block_tridiag_resolve`)."""
     B_prev = jnp.concatenate([jnp.zeros_like(B[:1]), B[:-1]], axis=0)
 
-    def fwd(carry, inp):
-        C_prev, z_prev = carry
-        Di, Bi, Bpi, ri = inp
+    def fwd(C_prev, inp):
+        Di, Bi, Bpi = inp
         S = Di - Bpi.swapaxes(-1, -2) @ C_prev
-        y = ri - Bpi.swapaxes(-1, -2) @ z_prev
         Lc = _chol6(S)
         C = _cho_solve6(Lc, Bi)
-        z = _cho_solve6(Lc, y)
-        return (C, z), (C, z)
+        return C, (Lc, C)
 
-    R = rhs.shape[-1]
-    init = (jnp.zeros_like(D[0]), jnp.zeros_like(rhs[0]))
-    _, (Cs, zs) = jax.lax.scan(fwd, init, (D, B, B_prev, rhs))
+    _, (Lcs, Cs) = jax.lax.scan(fwd, jnp.zeros_like(D[0]), (D, B, B_prev))
+    return Lcs, Cs, B_prev
+
+
+def block_tridiag_resolve(factor, rhs):
+    """Solve T·X = rhs from a precomputed :func:`block_tridiag_factor`.
+    rhs (N,6,R); peak extra memory O(N·6·R) — chunk R to bound it."""
+    Lcs, Cs, B_prev = factor
+
+    def fwd(z_prev, inp):
+        Lci, Bpi, ri = inp
+        z = _cho_solve6(Lci, ri - Bpi.swapaxes(-1, -2) @ z_prev)
+        return z, z
+
+    _, zs = jax.lax.scan(fwd, jnp.zeros_like(rhs[0]), (Lcs, B_prev, rhs))
 
     def bwd(x_next, inp):
         Ci, zi = inp
         x = zi - Ci @ x_next
         return x, x
 
+    R = rhs.shape[-1]
     _, xs = jax.lax.scan(bwd, jnp.zeros((6, R), rhs.dtype), (Cs, zs),
                          reverse=True)
     return xs
 
 
-@partial(jax.jit, static_argnames=("n_iters", "tol"))
+def block_tridiag_solve(D, B, rhs):
+    """Solve the block-tridiagonal SPD system T·X = rhs (factor + resolve
+    in one call; see :func:`block_tridiag_factor`)."""
+    return block_tridiag_resolve(block_tridiag_factor(D, B), rhs)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "tol", "loop_chunk"))
 def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
-                         prior_weight: float = 1e4, tol: float = 0.0) -> PoseGraph:
+                         prior_weight: float = 1e4, tol: float = 0.0,
+                         loop_chunk: int | None = None) -> PoseGraph:
     """GN over all node tangents with the linear-time chain+Woodbury solve.
     Same problem as :func:`optimize_graph` (equivalence-tested); use this for
     any graph past a few hundred nodes.
@@ -393,6 +407,21 @@ def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
     anchor = jnp.where(idx == 0, prior_weight, 0.0)
     freeze = jnp.where(g.node_valid, 0.0, 1e12)
     diag_add = (anchor + freeze + damping).astype(dtype)
+    # Woodbury loop-chunk width. Default: FULL width (one-shot). The
+    # chunked mode (``loop_chunk``) streams U's column blocks against a
+    # reused block-Thomas factorization to cap the (N,6,6·CL) operand —
+    # measured a NEGATIVE result as a default at the 10k-node scale: peak
+    # RSS is dominated by XLA:CPU compile arenas, not the Woodbury
+    # operands (1386 vs 1491 MB, ~7 %), while the extra resolve passes
+    # cost ~40 % time (1367 vs 985 ms warm; docs/PERFORMANCE.md). Kept as
+    # an opt-in for memory-starved deployments with far larger loop
+    # capacities, where the O(N·6·6L) operands do dominate.
+    if loop_chunk is not None:
+        CL = max(1, min(loop_chunk, L))
+        while L % CL:
+            CL -= 1
+    else:
+        CL = L
 
     def gn_iter(_, carry):
         t, q = carry
@@ -414,7 +443,13 @@ def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
         D = D + jnp.eye(6, dtype=dtype)[None] * diag_add[:, None, None]
         gv = gi + shift(gj)
 
-        # --- loop factors → low-rank U (N,6,6L) + gradient scatter ---
+        # --- loop factors: low-rank U, handled SPARSELY — U's only nonzero
+        # node-blocks for loop l sit at rows loop_i[l]/loop_j[l], so U is
+        # never materialized as (N,6,6L). The Woodbury solve streams U's
+        # column blocks in chunks of CL loops against a REUSED block-Thomas
+        # factorization: peak extra memory O(N·6·6CL) instead of the
+        # O(N·6·6L) operands that plateaued the 10k-keyframe soak at ~4 GB
+        # (docs/STATUS.md). Results identical up to float associativity. ---
         rl, Jli, Jlj = _between_batch(
             t[g.loop_i], q[g.loop_i], t[g.loop_j], q[g.loop_j],
             g.loop_t, g.loop_q, g.loop_weight)
@@ -422,21 +457,40 @@ def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
         Jli = jnp.where(ml[:, None, None], Jli, 0.0)
         Jlj = jnp.where(ml[:, None, None], Jlj, 0.0)
         rl = jnp.where(ml[:, None], rl, 0.0)
-        U = jnp.zeros((N, 6, L, 6), dtype)
-        lidx = jnp.arange(L)
-        U = U.at[g.loop_i, :, lidx, :].add(jnp.swapaxes(Jli, -1, -2))
-        U = U.at[g.loop_j, :, lidx, :].add(jnp.swapaxes(Jlj, -1, -2))
-        U = U.reshape(N, 6, 6 * L)
         gv = gv.at[g.loop_i].add(jnp.einsum("fab,fa->fb", Jli, rl))
         gv = gv.at[g.loop_j].add(jnp.einsum("fab,fa->fb", Jlj, rl))
 
-        # --- solve (T + U·Uᵀ) x = −g via Woodbury ---
-        rhs = jnp.concatenate([-gv[:, :, None], U], axis=-1)  # (N,6,1+6L)
-        Y = block_tridiag_solve(D, Bblk, rhs)
-        y0, Yu = Y[..., 0], Y[..., 1:]
-        K = jnp.eye(6 * L, dtype=dtype) + jnp.einsum("nar,nas->rs", U, Yu)
-        w = jnp.linalg.solve(K, jnp.einsum("nar,na->r", U, y0))
-        x = _clamp_step(y0 - jnp.einsum("nar,r->na", Yu, w))
+        # --- solve (T + U·Uᵀ) x = −g via chunked Woodbury ---
+        factor = block_tridiag_factor(D, Bblk)
+        y0 = block_tridiag_resolve(factor, -gv[:, :, None])[..., 0]
+
+        def u_chunk(c0):
+            """Dense (N,6,6CL) slice of U for loop blocks [c0, c0+CL)."""
+            sl = slice(c0, c0 + CL)
+            Uc = jnp.zeros((N, 6, CL, 6), dtype)
+            cidx = jnp.arange(CL)
+            Uc = Uc.at[g.loop_i[sl], :, cidx, :].add(
+                jnp.swapaxes(Jli[sl], -1, -2))
+            Uc = Uc.at[g.loop_j[sl], :, cidx, :].add(
+                jnp.swapaxes(Jlj[sl], -1, -2))
+            return Uc.reshape(N, 6, 6 * CL)
+
+        K = jnp.eye(6 * L, dtype=dtype)
+        for c0 in range(0, L, CL):
+            Yuc = block_tridiag_resolve(factor, u_chunk(c0))
+            # K[:, chunk] += Uᵀ·Yu_chunk, with Uᵀ applied sparsely via the
+            # gathered loop-endpoint rows of Yu_chunk
+            Kc = (jnp.einsum("lba,las->lbs", Jli, Yuc[g.loop_i])
+                  + jnp.einsum("lba,las->lbs", Jlj, Yuc[g.loop_j]))
+            K = K.at[:, 6 * c0:6 * (c0 + CL)].add(Kc.reshape(6 * L, 6 * CL))
+        Uy = (jnp.einsum("lba,la->lb", Jli, y0[g.loop_i])
+              + jnp.einsum("lba,la->lb", Jlj, y0[g.loop_j])).reshape(6 * L)
+        w = jnp.linalg.solve(K, Uy)
+        x = y0
+        for c0 in range(0, L, CL):
+            Yuc = block_tridiag_resolve(factor, u_chunk(c0))
+            x = x - jnp.einsum("nas,s->na", Yuc, w[6 * c0:6 * (c0 + CL)])
+        x = _clamp_step(x)
 
         t = t + x[:, :3]
         q = quat_normalize(quat_mul(q, exp_so3(x[:, 3:6])))

@@ -97,6 +97,45 @@ class TestAffectedSuffix:
         assert np.allclose(np.asarray(sub.t[0]), np.asarray(g.t[39]))
 
 
+class TestChunkedWoodbury:
+    def test_chunked_matches_full(self):
+        """The memory-lean chunked Woodbury (streams U's column blocks
+        against a reused block-Thomas factorization) must match the
+        one-shot solve bit-for-float-assoc — forced via loop_chunk at a
+        size where the auto heuristic would not chunk."""
+        g = drifted_chain(200, 256)
+        for (i, j) in [(195, 20), (150, 60), (120, 21), (90, 40)]:
+            g = with_loop(g, i, j)
+        full = optimize_graph_chain(g, n_iters=6)
+        for chunk in (1, 2, 3):
+            ck = optimize_graph_chain(g, n_iters=6, loop_chunk=chunk)
+            assert float(jnp.max(jnp.abs(full.t[:200] - ck.t[:200]))) < 1e-4, chunk
+            assert float(jnp.max(jnp.abs(full.q[:200] - ck.q[:200]))) < 1e-4, chunk
+
+    def test_factor_resolve_roundtrip(self):
+        """block_tridiag_factor + resolve == one-shot solve."""
+        from lili_om_tpu.models.pose_graph import (block_tridiag_factor,
+                                                   block_tridiag_resolve,
+                                                   block_tridiag_solve)
+
+        rng = np.random.default_rng(3)
+        N, R = 17, 5
+        A = rng.standard_normal((N, 6, 6))
+        D = jnp.asarray(A @ A.transpose(0, 2, 1) + 12 * np.eye(6), jnp.float64)
+        B = jnp.asarray(0.3 * rng.standard_normal((N, 6, 6)), jnp.float64)
+        rhs = jnp.asarray(rng.standard_normal((N, 6, R)), jnp.float64)
+        one = block_tridiag_solve(D, B, rhs)
+        two = block_tridiag_resolve(block_tridiag_factor(D, B), rhs)
+        np.testing.assert_allclose(np.asarray(one), np.asarray(two),
+                                   rtol=1e-10, atol=1e-10)
+        # split rhs into chunks against the same factorization
+        f = block_tridiag_factor(D, B)
+        parts = [block_tridiag_resolve(f, rhs[..., i:i + 2])
+                 for i in range(0, R, 2)]
+        np.testing.assert_allclose(np.asarray(jnp.concatenate(parts, -1)),
+                                   np.asarray(one), rtol=1e-10, atol=1e-10)
+
+
 class TestArchiveSpill:
     def test_spill_bounds_residency_and_stays_readable(self, tmp_path):
         """spill_archives moves old keyframe clouds to disk; loop closure /
