@@ -183,10 +183,14 @@ def main():
     # Variance-hardened timing (the tunnel's RTT and per-session windows
     # swing reps ±50 %, CLAUDE.md): per-scan time is the DIFFERENCE of a
     # short and a long block — each block carries exactly one host sync, so
-    # the fixed RTT + sync overhead cancels; best-of-R pairs rejects the
-    # slow tunnel windows. State persists across blocks (the sim scans
-    # cycle; cost is shape-dependent, and the map fill is saturated after
-    # warmup, so re-visiting frames does not change the measured work).
+    # the fixed RTT + sync overhead cancels. The MEDIAN over 3 pairs is the
+    # estimator: a MIN would systematically select cross-window artifacts
+    # (short block in a slow window next to a long block in a fast one
+    # yields a per-scan time faster than either window — an underestimate
+    # the hardware never achieved). State persists across blocks (the sim
+    # scans cycle; cost is shape-dependent, and the map fill is saturated
+    # after warmup, so re-visiting frames does not change the measured
+    # work).
     timed = scans[N_WARM:]
 
     def run_block(ostate, fstate, n):
@@ -197,18 +201,20 @@ def main():
         return time.perf_counter() - t0, ostate, fstate
 
     N_LONG = 3 * N_TIMED
-    best = np.inf
-    for _ in range(2):
+    pairs = []
+    for _ in range(3):
         t_short, ostate, fstate = run_block(ostate, fstate, N_TIMED)
         t_long, ostate, fstate = run_block(ostate, fstate, N_LONG)
         per_scan = (t_long - t_short) / (N_LONG - N_TIMED)
-        if 0 < per_scan < best:
-            best = per_scan
-    if not np.isfinite(best):  # pathological timing window — fall back
+        if per_scan > 0:
+            pairs.append(per_scan)
+    if pairs:
+        est = float(np.median(pairs))
+    else:  # pathological timing window — fall back to one plain block
         t_long, ostate, fstate = run_block(ostate, fstate, N_LONG)
-        best = t_long / N_LONG
+        est = t_long / N_LONG
 
-    scans_per_s = 1.0 / best
+    scans_per_s = 1.0 / est
     pallas = split  # knn_auto dispatches Pallas on top-level TPU calls
     ks = hot_path_accounting(ocfg, bcfg, ocfg.scan_match_cnt, pallas_knn=pallas)
     flops_per_scan = sum(v[0] for v in ks.values())

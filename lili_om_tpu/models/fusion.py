@@ -86,10 +86,11 @@ class FusionConfig(NamedTuple):
     reflect_thres: float = 15.0
     lidar_const: float = 20.0
     cauchy_c: float = 1.0
-    # GN iteration cap — 15 like the FR_IOSB yaml's max_num_iter
-    # (config_fr_iosb.yaml:22; the ROT presets override to 12). With the
-    # gn_tol early exit below, converged windows stop far earlier, so the
-    # cap only binds on bootstrap/aggressive-motion windows.
+    # GN iteration cap — 15 like the backend_fusion max_num_iter in BOTH
+    # fr_iosb yamls (Livox yaml:15, ROT yaml:22; the 12 sometimes quoted
+    # is the ROT *lidar_odometry* budget → OdometryConfig.gn_iters). With
+    # the gn_tol early exit below, converged windows stop far earlier, so
+    # the cap only binds on bootstrap/aggressive-motion windows.
     max_num_iter: int = 15
     # step-norm early exit: stop the GN iterations once ‖Δ‖ drops below
     # this (tangent units — m / rad / m/s). Ceres terminates on its own

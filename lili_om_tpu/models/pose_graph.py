@@ -460,7 +460,7 @@ def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
         gv = gv.at[g.loop_i].add(jnp.einsum("fab,fa->fb", Jli, rl))
         gv = gv.at[g.loop_j].add(jnp.einsum("fab,fa->fb", Jlj, rl))
 
-        # --- solve (T + U·Uᵀ) x = −g via chunked Woodbury ---
+        # --- solve (T + U·Uᵀ) x = −g via (chunked) Woodbury ---
         factor = block_tridiag_factor(D, Bblk)
         y0 = block_tridiag_resolve(factor, -gv[:, :, None])[..., 0]
 
@@ -475,22 +475,39 @@ def optimize_graph_chain(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6,
                 jnp.swapaxes(Jlj[sl], -1, -2))
             return Uc.reshape(N, 6, 6 * CL)
 
-        K = jnp.eye(6 * L, dtype=dtype)
-        for c0 in range(0, L, CL):
-            Yuc = block_tridiag_resolve(factor, u_chunk(c0))
-            # K[:, chunk] += Uᵀ·Yu_chunk, with Uᵀ applied sparsely via the
-            # gathered loop-endpoint rows of Yu_chunk
+        def k_cols(Yuc):
+            """Uᵀ·Yu_chunk with Uᵀ applied sparsely via the gathered
+            loop-endpoint rows of Yu_chunk → (6L, 6CL)."""
             Kc = (jnp.einsum("lba,las->lbs", Jli, Yuc[g.loop_i])
                   + jnp.einsum("lba,las->lbs", Jlj, Yuc[g.loop_j]))
-            K = K.at[:, 6 * c0:6 * (c0 + CL)].add(Kc.reshape(6 * L, 6 * CL))
-        Uy = (jnp.einsum("lba,la->lb", Jli, y0[g.loop_i])
-              + jnp.einsum("lba,la->lb", Jlj, y0[g.loop_j])).reshape(6 * L)
-        w = jnp.linalg.solve(K, Uy)
-        x = y0
-        for c0 in range(0, L, CL):
-            Yuc = block_tridiag_resolve(factor, u_chunk(c0))
-            x = x - jnp.einsum("nas,s->na", Yuc, w[6 * c0:6 * (c0 + CL)])
-        x = _clamp_step(x)
+            return Kc.reshape(6 * L, 6 * CL)
+
+        if L == 0:
+            # pure-chain graph (zero loop capacity) — nothing low-rank
+            x = _clamp_step(y0)
+        elif CL == L:
+            # one-shot: Yu computed ONCE, reused for both K and the
+            # correction (the two-pass recompute below exists only to cap
+            # memory when chunking)
+            Yu = block_tridiag_resolve(factor, u_chunk(0))
+            K = jnp.eye(6 * L, dtype=dtype) + k_cols(Yu)
+            Uy = (jnp.einsum("lba,la->lb", Jli, y0[g.loop_i])
+                  + jnp.einsum("lba,la->lb", Jlj, y0[g.loop_j])).reshape(-1)
+            w = jnp.linalg.solve(K, Uy)
+            x = _clamp_step(y0 - jnp.einsum("nas,s->na", Yu, w))
+        else:
+            K = jnp.eye(6 * L, dtype=dtype)
+            for c0 in range(0, L, CL):
+                K = K.at[:, 6 * c0:6 * (c0 + CL)].add(
+                    k_cols(block_tridiag_resolve(factor, u_chunk(c0))))
+            Uy = (jnp.einsum("lba,la->lb", Jli, y0[g.loop_i])
+                  + jnp.einsum("lba,la->lb", Jlj, y0[g.loop_j])).reshape(-1)
+            w = jnp.linalg.solve(K, Uy)
+            x = y0
+            for c0 in range(0, L, CL):  # recompute pass — memory, not time
+                Yuc = block_tridiag_resolve(factor, u_chunk(c0))
+                x = x - jnp.einsum("nas,s->na", Yuc, w[6 * c0:6 * (c0 + CL)])
+            x = _clamp_step(x)
 
         t = t + x[:, :3]
         q = quat_normalize(quat_mul(q, exp_so3(x[:, 3:6])))

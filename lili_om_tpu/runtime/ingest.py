@@ -135,8 +135,22 @@ class ShardedIngest:
         undrained close means dropped tail scans, which lossless offline
         replay must not silently accept."""
         if self.processes:
-            self._futs.put(None)  # sentinel (forwarder always drains to it)
-            if not self._fwd_done.wait(timeout=timeout):
+            import time as _time
+
+            deadline = _time.monotonic() + timeout
+            try:
+                # bounded put: if a hung decode worker has wedged the
+                # forwarder (blocked in fut.result) with a full queue, this
+                # must FAIL LOUDLY within the timeout, not hang forever
+                self._futs.put(None, timeout=timeout)  # sentinel
+            except queue.Full:
+                self._pool.shutdown(wait=False, cancel_futures=True)
+                raise RuntimeError(
+                    f"ingest close timed out after {timeout}s: decode "
+                    "worker wedged with a full forward queue") from None
+            if not self._fwd_done.wait(
+                    timeout=max(deadline - _time.monotonic(), 0.001)):
+                self._pool.shutdown(wait=False, cancel_futures=True)
                 raise RuntimeError(
                     f"ingest close timed out after {timeout}s with "
                     "undelivered scans still queued")

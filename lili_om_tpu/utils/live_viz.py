@@ -35,19 +35,23 @@ import threading
 import numpy as np
 
 _INDEX_HTML = """<!doctype html><html><head><title>lili_om_tpu live</title>
-<meta http-equiv="refresh" content="5">
 <style>body{background:#fcfcfb;font-family:sans-serif;margin:1.5em}</style>
 </head><body><h3>lili_om_tpu — live run</h3>
-<img src="overview.png?ts=" id="im" style="max-width:95vw">
+<img src="overview.png" id="im" style="max-width:95vw">
 <pre id="st"></pre>
 <script>
+/* JS-only refresh (no meta reload — a full-page reload would kill this
+   timer and double-fetch every artifact): swap the image + status with
+   cache-busted URLs, flicker-free. */
 const bust = () => Date.now();
-setInterval(() => {
+const tick = () => {
   document.getElementById('im').src = 'overview.png?ts=' + bust();
   fetch('status.json?ts=' + bust()).then(r => r.json())
     .then(s => document.getElementById('st').textContent =
                JSON.stringify(s, null, 1)).catch(() => {});
-}, 5000);
+};
+tick();
+setInterval(tick, 5000);
 </script></body></html>
 """
 

@@ -112,6 +112,25 @@ class TestChunkedWoodbury:
             assert float(jnp.max(jnp.abs(full.t[:200] - ck.t[:200]))) < 1e-4, chunk
             assert float(jnp.max(jnp.abs(full.q[:200] - ck.q[:200]))) < 1e-4, chunk
 
+    def test_zero_loop_capacity_solves(self):
+        """A pure-chain graph (loop_capacity=0) must still solve — the
+        chunked rewrite initially raised range(0,0,0) here."""
+        g = init_graph(64, loop_capacity=0)
+        N = 30
+        rng = np.random.default_rng(1)
+        ts = np.cumsum(np.full((N, 3), [0.1, 0, 0])
+                       + 0.01 * rng.standard_normal((N, 3)), axis=0)
+        g = g._replace(
+            t=g.t.at[:N].set(jnp.asarray(ts, jnp.float32)),
+            node_valid=g.node_valid.at[:N].set(True),
+            rel_valid=g.rel_valid.at[:N - 1].set(True),
+            rel_t=g.rel_t.at[:N - 1].set(
+                jnp.asarray(np.diff(ts, axis=0), jnp.float32)),
+            rel_weight=g.rel_weight.at[:N].set(100.0),
+            n_nodes=jnp.asarray(N, jnp.int32))
+        out = optimize_graph_chain(g, n_iters=3)
+        assert np.all(np.isfinite(np.asarray(out.t[:N])))
+
     def test_factor_resolve_roundtrip(self):
         """block_tridiag_factor + resolve == one-shot solve."""
         from lili_om_tpu.models.pose_graph import (block_tridiag_factor,
