@@ -614,6 +614,29 @@ def extract_suffix(g: PoseGraph, base: int, n: int) -> PoseGraph:
            for k, v in new.items()})
 
 
+def warm_graph_solver(max_capacity: int, n_iters: int = 10, tol: float = 1e-3,
+                      loop_capacity: int = 8, dtype=jnp.float32) -> list[int]:
+    """Pre-compile the suffix-solver buckets up to ``max_capacity`` (pow2
+    ladder from 64) on the host CPU backend — the first closure of a run
+    otherwise pays a multi-second XLA:CPU compile per new bucket ON the
+    closure path (amortized but user-visible as first-correction lag).
+    Call from a background thread (PipelineRunner does); returns the
+    warmed capacities. Compilation keys on (shape, n_iters, tol), so use
+    the same budget the system will (LoopClosureConfig.graph_iters/
+    graph_tol)."""
+    warmed = []
+    cap = 64
+    with jax.default_device(jax.devices("cpu")[0]):
+        while cap <= max_capacity:
+            g = init_graph(cap, loop_capacity, dtype=dtype)
+            g = g._replace(n_nodes=jnp.asarray(2, jnp.int32),
+                           node_valid=g.node_valid.at[:2].set(True))
+            optimize_graph_chain(g, n_iters=n_iters, tol=tol).t.block_until_ready()
+            warmed.append(cap)
+            cap *= 2
+    return warmed
+
+
 def solve_graph_incremental(g: PoseGraph, n: int, loop_pairs,
                             n_iters: int = 10, tol: float = 1e-3,
                             damping: float = 1e-6, device: str = "cpu"):

@@ -216,6 +216,22 @@ class PipelineRunner:
             self._back.start()
         self._loop_thread = threading.Thread(target=self._loop_closure_loop, daemon=True)
         self._loop_thread.start()
+        # pre-compile the graph-solver buckets off the closure path: the
+        # first closure of a run otherwise pays a multi-second per-bucket
+        # XLA:CPU compile as first-correction lag (pose_graph.py:
+        # warm_graph_solver). Best-effort background work.
+        def _prewarm():
+            try:
+                from ..models.pose_graph import warm_graph_solver
+
+                lc = self.system.lc_cfg
+                warm_graph_solver(self.system.graph.t.shape[0],
+                                  n_iters=lc.graph_iters, tol=lc.graph_tol,
+                                  dtype=self.system.dtype)
+            except Exception:
+                pass  # warming is an optimization, never a failure mode
+
+        threading.Thread(target=_prewarm, daemon=True).start()
 
     def flush(self):
         """End-of-stream: release every scan still gated in the sequencer,

@@ -217,3 +217,13 @@ class TestSystemWiring:
         # tiny fixture they are sub-ms, but CI boxes jitter — assert a loose
         # ceiling that still catches the submap build re-entering the lock
         assert max(sys_.metrics.samples["lc_inlock"]) < 0.25
+
+
+def test_warm_graph_solver_buckets():
+    """Prewarm compiles the pow2 bucket ladder without error and reports
+    what it warmed (PipelineRunner.start runs this in the background so the
+    first closure skips the per-bucket compile)."""
+    from lili_om_tpu.models.pose_graph import warm_graph_solver
+
+    warmed = warm_graph_solver(256, n_iters=2, tol=1e-3)
+    assert warmed == [64, 128, 256]
