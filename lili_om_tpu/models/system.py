@@ -909,8 +909,15 @@ class LiliOmSystem:
 
         # ---- phase 1b (unlocked): candidate detection + submap build ----
         # graph poses are the authoritative (corrected) keyframe poses
-        g_t = np.asarray(graph_snap.t[:n])
-        g_q = np.asarray(graph_snap.q[:n])
+        # (whole-array fetch with overlapped copies — device slices would
+        # add a dispatch + a second RTT per leaf)
+        for a in (graph_snap.t, graph_snap.q):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        g_t = np.asarray(graph_snap.t)[:n]
+        g_q = np.asarray(graph_snap.q)[:n]
         d = np.linalg.norm(g_t - g_t[mature], axis=1)
         dt_all = np.abs(newest_stamp - stamps)
         in_r = np.where(d < lc.search_radius)[0]
@@ -1044,6 +1051,14 @@ class LiliOmSystem:
 
         g = self.graph
         n = len(self.kf_stamps)
+        # overlap the two device→host copies (this runs UNDER the backend
+        # mutex — each blocking transfer is a tunnel RTT; see
+        # pose_graph._prefetch_graph)
+        for a in (g.t, g.q):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
         new_t = np.array(g.t)
         new_q = np.array(g.q)
         if n > n0:
@@ -1152,13 +1167,21 @@ class LiliOmSystem:
         update the fusion ring buffer + window, drop the marginalization
         prior (marg=false → speed-bias re-priors next solve)."""
         n = len(self.kf_stamps)
-        g_t = np.asarray(self.graph.t[:n])
-        g_q = np.asarray(self.graph.q[:n])
+        fs = self.fusion_state
+        # overlap the device→host copies this in-lock phase needs (each
+        # blocking transfer is a tunnel RTT; see pose_graph._prefetch_graph)
+        for a in (self.graph.t, self.graph.q, fs.hist_t, fs.hist_q,
+                  fs.t, fs.q):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        g_t = np.asarray(self.graph.t)[:n]
+        g_q = np.asarray(self.graph.q)[:n]
         self.kf_positions = [g_t[i] for i in range(n)]
         if self._prev_kf is not None:
             pass  # updated below with graph-corrected values
 
-        fs = self.fusion_state
         cfg = self.fusion_cfg
         M = cfg.local_map_width
         W = cfg.window
