@@ -349,6 +349,25 @@ def edge_fit_and_gate(pts_b, pts_mask, d2, nbrs, cfg: FusionConfig) -> EdgeFacto
     )
 
 
+
+def _edge_query_world(ts, qs, win_edge_b, cfg: FusionConfig):
+    """World-frame EDGE query positions for the corner search. The
+    reference searches corners with the extrinsic-COMPOSED pose
+    (Q2 = Q·q_lb⁻¹, T2 = T − Q2·t_lb, BackendFusion.cpp:929-936 feeds
+    findCorrespondingCornerFeatures with the same pose as the surf
+    search), i.e. queries live in the BODY frame like the edge map built
+    here — only the FACTOR ignores the stored extrinsic
+    (LidarKeyframeFactor.h:37-43, the cited quirk, still preserved: the
+    factor consumes the raw sensor points). Searching with raw sensor
+    points displaced every edge query from its map position by the
+    extrinsic — fatal under the ROT 90°-about-x mount."""
+    dtype = win_edge_b.dtype
+    t_lb = jnp.asarray(cfg.t_lb, dtype)
+    q_lb = jnp.asarray(cfg.q_lb, dtype)
+    eb = jax.vmap(lambda p: body_points(p, t_lb, q_lb))(win_edge_b)
+    return quat_rotate(qs[:, None, :], eb) + ts[:, None, :]
+
+
 def _incremental_maps(state: FusionState, cfg: FusionConfig, rebuild: bool):
     """Match maps + updated mature tables from ONE merge per feature kind
     (see FusionConfig.incremental_map). Runs on the PRE-insert state.
@@ -521,7 +540,7 @@ def default_map_and_match(state: FusionState, ts, qs,
         map_surf, map_surf_mask, map_refl, cfg)
     surf_batches = PlaneFactorBatch(*[a.reshape((W, Sc) + a.shape[1:])
                                       for a in sb_flat])
-    pw_edge = (quat_rotate(qs[:, None, :], win_edge_b) + ts[:, None, :]).reshape(W * Ec, 3)
+    pw_edge = _edge_query_world(ts, qs, win_edge_b, cfg).reshape(W * Ec, 3)
     eb_flat = _edge_correspondences(
         win_edge_b.reshape(W * Ec, 3), pw_edge,
         win_edge_mask.reshape(W * Ec), map_edge, map_edge_mask, cfg)
@@ -746,8 +765,12 @@ def _ingest(state: FusionState, surf_pts, surf_mask, surf_refl,
     win_edge = hist_edge[slots]
     win_edge_mask = hist_edge_mask[slots]
 
-    # pre-apply the lidar→body extrinsic (factor quirk: planes apply it,
-    # edges don't — LidarKeyframeFactor.h:37-43 vs :92-96)
+    # pre-apply the lidar→body extrinsic to the SURF points (their factor
+    # applies it — LidarKeyframeFactor.h:92-96). Edge points stay RAW: the
+    # edge FACTOR ignores its stored extrinsic (the :37-43 quirk), but the
+    # edge SEARCH must still query in the body frame like the reference's
+    # composed pose — _edge_query_world applies the extrinsic at the
+    # query sites only.
     win_surf_b = jax.vmap(lambda p: body_points(p, t_lb, q_lb))(win_surf)
     win_edge_b = win_edge
 
@@ -870,8 +893,16 @@ def _finish(state: FusionState, mid: FusionMid, surf_batches, edge_batches,
         prior = state.prior
         sb_anchor_on = state.sb_anchor_on
     else:
+        # the reference REBUILDS the marginalization problem after the
+        # solve, so its speed-bias priors anchor at the POST-solve values
+        # (tmps pushed from the solved tmpSpeedBias, BackendFusion.cpp:
+        # 1045-1048 — Ceres solved in place at :993) and the marginalized
+        # sb residual is zero at the linearization point. Anchoring at the
+        # pre-solve values here injected a spurious gradient into the new
+        # prior on the one post-loop-closure step where sb_anchor_on holds.
+        sb_anchor_post = (vs1[:-1], bas1[:-1], bgs1[:-1])
         H, g = _assemble(ts1, qs1, vs1, bas1, bgs1, preints, preint_Ws, state.prior,
-                         state.sb_anchor_on, sb_anchor,
+                         state.sb_anchor_on, sb_anchor_post,
                          surf_batches, edge_batches, noise, cfg,
                          imu_first_only=True)
         J, r0 = schur_marginalize(H, g, 15)
@@ -923,8 +954,8 @@ def _match_with_maps(mid: FusionMid, cfg: FusionConfig):
         mid.map_surf, mid.map_surf_mask, mid.map_refl, cfg)
     surf_batches = PlaneFactorBatch(*[a.reshape((W, Sc) + a.shape[1:])
                                       for a in sb_flat])
-    pw_edge = (quat_rotate(mid.qs[:, None, :], mid.win_edge_b)
-               + mid.ts[:, None, :]).reshape(W * Ec, 3)
+    pw_edge = _edge_query_world(mid.ts, mid.qs, mid.win_edge_b,
+                                cfg).reshape(W * Ec, 3)
     eb_flat = _edge_correspondences(
         mid.win_edge_b.reshape(W * Ec, 3), pw_edge,
         mid.win_edge_mask.reshape(W * Ec), mid.map_edge, mid.map_edge_mask,
@@ -1027,8 +1058,8 @@ def _fusion_pre(state: FusionState, surf_pts, surf_mask, surf_refl,
         maps = _build_maps(state, cfg)
     pw_surf = (quat_rotate(mid.qs[:, None, :], mid.win_surf_b)
                + mid.ts[:, None, :]).reshape(W * Sc, 3)
-    pw_edge = (quat_rotate(mid.qs[:, None, :], mid.win_edge_b)
-               + mid.ts[:, None, :]).reshape(W * Ec, 3)
+    pw_edge = _edge_query_world(mid.ts, mid.qs, mid.win_edge_b,
+                                cfg).reshape(W * Ec, 3)
     return mid, maps, pw_surf, pw_edge
 
 

@@ -82,7 +82,9 @@ class MapShardedMatch:
         k = cfg.k
 
         pw_surf = (quat_rotate(qs[:, None, :], win_surf_b) + ts[:, None, :]).reshape(W * Sc, 3)
-        pw_edge = (quat_rotate(qs[:, None, :], win_edge_b) + ts[:, None, :]).reshape(W * Ec, 3)
+        from ..models.fusion import _edge_query_world
+
+        pw_edge = _edge_query_world(ts, qs, win_edge_b, cfg).reshape(W * Ec, 3)
 
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),

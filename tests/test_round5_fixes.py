@@ -227,3 +227,54 @@ def test_warm_graph_solver_buckets():
 
     warmed = warm_graph_solver(256, n_iters=2, tol=1e-3)
     assert warmed == [64, 128, 256]
+
+
+class TestEdgeQueryExtrinsic:
+    def test_edge_search_matches_under_rot_extrinsic(self):
+        """The corner SEARCH must query in the body frame like the
+        reference's composed pose (BackendFusion.cpp:929-936) — only the
+        edge FACTOR ignores the extrinsic (LidarKeyframeFactor.h:37-43).
+        Pre-fix, raw-frame queries sat an extrinsic away from the
+        body-frame-built edge map and found ~nothing under the ROT
+        90°-about-x mount (measured: 1.4 vs 21.8 mean correspondences on
+        the golden rig)."""
+        from lili_om_tpu.models.fusion import (FusionConfig, fusion_step,
+                                               init_fusion_state)
+        from lili_om_tpu.ops.preintegration import ImuNoise
+
+        cfg = FusionConfig(window=3, local_map_width=6, kf_surf_cap=256,
+                           kf_edge_cap=128, map_surf_cap=2048,
+                           map_edge_cap=512, use_reflectivity=False,
+                           weight_gate=0.3, lidar_const=7.5, max_num_iter=2,
+                           imu_cap=16,
+                           q_lb=(0.7071, 0.0, 0.0, 0.7071),  # ROT mount
+                           t_lb=(-0.18, 0.0, -0.095))
+        noise = ImuNoise()
+        rng = np.random.default_rng(0)
+        st = init_fusion_state(cfg, noise, dtype=jnp.float64)
+        M, Sc, Ec = cfg.local_map_width, cfg.kf_surf_cap, cfg.kf_edge_cap
+        # SENSOR-frame clouds (the ring stores sensor frame; the map build
+        # applies the extrinsic): a plane patch + an edge line
+        sp = np.stack([rng.uniform(0, 4, Sc), rng.uniform(0, 4, Sc),
+                       0.02 * rng.standard_normal(Sc)], axis=1)
+        ep = np.stack([rng.uniform(0, 2, Ec), np.full(Ec, 1.0),
+                       rng.uniform(0, 4, Ec)], axis=1)
+        st = st._replace(
+            hist_surf=jnp.tile(jnp.asarray(sp)[None], (M, 1, 1)),
+            hist_surf_mask=jnp.ones((M, Sc), bool),
+            hist_edge=jnp.tile(jnp.asarray(ep)[None], (M, 1, 1)),
+            hist_edge_mask=jnp.ones((M, Ec), bool),
+            hist_valid=jnp.ones((M,), bool),
+            kf_count=jnp.asarray(M, jnp.int32))
+        dts = jnp.full((cfg.imu_cap,), 0.005, jnp.float64)
+        accs = jnp.zeros((cfg.imu_cap, 3), jnp.float64).at[:, 2].set(noise.g_norm)
+        gyrs = jnp.zeros((cfg.imu_cap, 3), jnp.float64)
+        vm = jnp.ones((cfg.imu_cap,), bool)
+        # same sensor-frame clouds as the incoming scan (identity poses →
+        # queries must land exactly on the map)
+        _, out = fusion_step(
+            st, jnp.asarray(sp), jnp.ones((Sc,), bool), jnp.zeros((Sc,)),
+            jnp.asarray(ep), jnp.ones((Ec,), bool), dts, accs, gyrs, vm,
+            cfg=cfg, noise=noise, rebuild=True)
+        assert int(out.n_edge_corr) > Ec // 2, int(out.n_edge_corr)
+        assert int(out.n_surf_corr) > Sc
